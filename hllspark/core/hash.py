@@ -1,0 +1,197 @@
+"""Vectorized, bit-exact MurmurHash64A (Austin Appleby, public domain).
+
+The reference extension hashes every item with MurmurHash64A under the fixed
+seed 0xadc83b19 (/root/reference/src/hyperloglog.h:55-56, hllutils.c:16-65)
+and its regression goldens depend on exact 64-bit hash values, so this module
+reimplements the same function as numpy kernels over whole Arrow batches:
+
+- fixed-width inputs (int32 → 4-byte LE datum, int64 → 8-byte LE datum,
+  float64 → 8-byte IEEE, mirroring how Postgres passes by-value datums,
+  hyperloglog_counter.c:536-547);
+- variable-width inputs (utf-8 strings / binary) as a (flat bytes, offsets)
+  pair taken zero-copy from Arrow buffers — no per-row Python.
+
+All arithmetic is uint64 with wraparound, which numpy arrays give natively.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M = np.uint64(0xC6A4A7935BD1E995)
+_R = np.uint64(47)
+HASH_SEED = np.uint64(0xADC83B19)
+
+_U64_SHIFTS = [np.uint64(8 * i) for i in range(8)]
+
+
+def _fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> _R)
+    h = h * _M
+    h = h ^ (h >> _R)
+    return h
+
+
+def _seed_init(seed, length: int) -> np.uint64:
+    # h = seed ^ (len * m), computed in Python ints to avoid scalar-overflow noise
+    return np.uint64((int(seed) ^ ((length * int(_M)) & 0xFFFFFFFFFFFFFFFF)) & 0xFFFFFFFFFFFFFFFF)
+
+
+def murmur64_u64(vals: np.ndarray, seed: np.uint64 = HASH_SEED) -> np.ndarray:
+    """Hash each element as its 8 little-endian bytes (one full block)."""
+    vals = vals.astype(np.uint64, copy=False)
+    h = _seed_init(seed, 8)
+    k = vals * _M
+    k = k ^ (k >> _R)
+    k = k * _M
+    h = h ^ k
+    h = h * _M
+    return _fmix(h)
+
+
+def murmur64_u32(vals: np.ndarray, seed: np.uint64 = HASH_SEED) -> np.ndarray:
+    """Hash each element as its 4 little-endian bytes (tail-only path)."""
+    vals = vals.astype(np.uint32, copy=False).astype(np.uint64)
+    h = np.full(vals.shape, _seed_init(seed, 4), dtype=np.uint64)
+    # switch(len & 7) cases 4..1 collapse to one 32-bit LE xor, then h *= m
+    h = (h ^ vals) * _M
+    return _fmix(h)
+
+
+def murmur64_bytes(
+    flat: np.ndarray, offsets: np.ndarray, seed: np.uint64 = HASH_SEED
+) -> np.ndarray:
+    """Hash N variable-length byte strings given flat data + int64 offsets.
+
+    ``flat`` is uint8 of total payload bytes; ``offsets`` has N+1 entries.
+    Matches MurmurHash64A exactly: 8-byte little-endian blocks, then the
+    1-7 byte tail, then the final mix.
+    """
+    flat = flat.astype(np.uint8, copy=False)
+    offsets = offsets.astype(np.int64, copy=False)
+    starts = offsets[:-1]
+    lens = (offsets[1:] - starts).astype(np.int64)
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+
+    h = np.uint64(seed) ^ (lens.astype(np.uint64) * _M)
+
+    nblocks = lens >> 3
+    maxblocks = int(nblocks.max()) if n else 0
+
+    if maxblocks:
+        # process rows sorted by block count descending → each round is a
+        # contiguous prefix, no per-round boolean scans
+        order = np.argsort(-nblocks, kind="stable")
+        s_starts = starts[order]
+        s_nblocks = nblocks[order]
+        s_h = h[order]
+        # counts[j] = how many rows have > j blocks
+        flat64 = flat  # gather bytes; unaligned so assemble manually
+        for j in range(maxblocks):
+            cnt = int(np.searchsorted(-s_nblocks, -(j + 1), side="right"))
+            if cnt == 0:
+                break
+            base = s_starts[:cnt] + 8 * j
+            k = flat64[base].astype(np.uint64)
+            for i in range(1, 8):
+                k |= flat64[base + i].astype(np.uint64) << _U64_SHIFTS[i]
+            k = k * _M
+            k = k ^ (k >> _R)
+            k = k * _M
+            hh = s_h[:cnt]
+            hh = (hh ^ k) * _M
+            s_h[:cnt] = hh
+        h = np.empty_like(s_h)
+        h[order] = s_h
+
+    tail_len = lens & 7
+    has_tail = tail_len > 0
+    if has_tail.any():
+        rows = np.nonzero(has_tail)[0]
+        tstart = starts[rows] + (nblocks[rows] << 3)
+        tl = tail_len[rows]
+        tv = np.zeros(len(rows), dtype=np.uint64)
+        for i in range(7):
+            m = tl > i
+            if not m.any():
+                break
+            tv[m] |= flat[tstart[m] + i].astype(np.uint64) << _U64_SHIFTS[i]
+        h[rows] = (h[rows] ^ tv) * _M
+
+    return _fmix(h)
+
+
+def clz64(x: np.ndarray) -> np.ndarray:
+    """Count leading zeros of each uint64; returns 64 for x == 0.
+
+    Exact integer math (smear + SWAR popcount) — no float rounding hazards.
+    """
+    x = x.astype(np.uint64, copy=True)
+    x |= x >> np.uint64(1)
+    x |= x >> np.uint64(2)
+    x |= x >> np.uint64(4)
+    x |= x >> np.uint64(8)
+    x |= x >> np.uint64(16)
+    x |= x >> np.uint64(32)
+    # popcount(x) == bit_length of original
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    bl = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return (np.uint64(64) - bl).astype(np.uint8)
+
+
+def clz32(x: np.ndarray) -> np.ndarray:
+    """Count leading zeros of each uint32; returns 32 for x == 0."""
+    return (clz64(x.astype(np.uint64)) - np.uint8(32)).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# canonicalizers: Spark/Arrow values → the byte stream the reference hashes
+# (hyperloglog_counter.c:536-547: by-value datums hash typlen LE bytes,
+# varlena hashes the raw payload bytes)
+# ---------------------------------------------------------------------------
+
+
+def hash_int64(vals) -> np.ndarray:
+    return murmur64_u64(np.asarray(vals, dtype=np.int64).view(np.uint64))
+
+
+def hash_int32(vals) -> np.ndarray:
+    return murmur64_u32(np.asarray(vals, dtype=np.int32).view(np.uint32))
+
+
+def hash_float64(vals) -> np.ndarray:
+    return murmur64_u64(np.asarray(vals, dtype=np.float64).view(np.uint64))
+
+
+def arrow_string_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8, int64 offsets) from a pyarrow String/Binary/LargeString array."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        arr = arr.cast(pa.large_binary())
+    elif pa.types.is_large_string(t):
+        arr = arr.cast(pa.large_binary())
+    buffers = arr.buffers()
+    # large_binary: [validity, offsets(int64), data]
+    offsets = np.frombuffer(buffers[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    return data, offsets
+
+
+def hash_strings(series) -> np.ndarray:
+    """Hash a pandas Series (str/bytes) or pyarrow array as raw UTF-8/bytes."""
+    import pyarrow as pa
+
+    if isinstance(series, (pa.Array, pa.ChunkedArray)):
+        arr = series
+    else:
+        arr = pa.Array.from_pandas(series)
+    flat, offsets = arrow_string_buffers(arr)
+    return murmur64_bytes(flat, offsets)
