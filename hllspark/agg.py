@@ -1,0 +1,299 @@
+"""Two-phase distributed sketch aggregation — the scale path.
+
+This reproduces the reference's Greenplum distributed-aggregation contract
+(sfunc per segment → motion → prefunc register-max → finalfunc,
+sql/greenplum.sql:289-295, SURVEY.md §3.2) with explicit Spark stages,
+because Spark's pandas GROUPED_AGG UDAFs have no map-side partial
+aggregation (they shuffle raw rows):
+
+  phase 1  mapInPandas      one partial sketch per (input partition, group);
+                            Arrow batches hashed with numpy, no per-row Python
+  shuffle  Exchange         partial sketches only — P×G rows of ≤16 KiB, not
+                            raw rows; this is what tames skew: a hot group
+                            costs P sketches, not N rows
+  phase 2  applyInPandas /  register-max merge (associative+commutative →
+           tree fan-in      any arrival order gives byte-identical registers)
+
+Skew note: because phase 1 collapses each partition to one sketch per group,
+a hot key ('en' at 55% of a Common-Crawl table) shuffles the same number of
+bytes as a cold key.  For extreme partition counts, `merge_rounds=2` (default
+when the input has >256 partitions) pre-merges partials in buckets of
+`pmod(partition_id, sqrt(P))` before the final per-key merge, bounding any
+single reducer's fan-in — the salted-repartition pattern with merge
+associativity guaranteeing correctness.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .core.hash import hash_arrow_array
+from .core.hll import HLL
+from .functions import DEFAULT_B, DEFAULT_BINBITS, hll_estimate, hll_estimate_bigint
+
+LINEAGE_FIELDS = [
+    StructField("partition_id", IntegerType(), False),
+    StructField("rows_seen", LongType(), False),
+    StructField("nulls_skipped", LongType(), False),
+    StructField("wall_ms", DoubleType(), False),
+]
+
+
+def _partial_schema(df: DataFrame, by: Sequence[str], lineage: bool) -> StructType:
+    fields = [df.schema[c] for c in by]
+    fields.append(StructField("sketch", BinaryType(), True))
+    if lineage:
+        fields.extend(LINEAGE_FIELDS)
+    return StructType(fields)
+
+
+def _make_builder(value_col: str, by: Sequence[str], b: int, binbits: int, input_type: str, lineage: bool):
+    """Per-partition partial-sketch builder (the reference's sfunc, run over
+    Arrow batches: hyperloglog_add_item_agg_default, hyperloglog_counter.c:495-554).
+
+    Runs as mapInArrow — raw Arrow RecordBatches, no pandas conversion — so
+    int64 columns with NULLs keep exact values (Spark's pandas conversion
+    would degrade them to float64) and string hashing reads the Arrow
+    buffers zero-copy.
+    """
+
+    def build(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
+        t0 = time.monotonic()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else -1
+        rows_seen = 0
+        nulls = 0
+        states: dict = {}
+        key_arrays: list[pa.Array] | None = None
+
+        for batch in batches:
+            rows_seen += batch.num_rows
+            vcol = batch.column(batch.schema.get_field_index(value_col))
+            nnull = vcol.null_count
+            nulls += nnull
+            if not by:
+                st = states.get(())
+                if st is None:
+                    st = states[()] = HLL.create(b=b, binbits=binbits)
+                nn = vcol.drop_null() if nnull else vcol
+                if len(nn):
+                    st.add_hashes(hash_arrow_array(nn, input_type))
+                continue
+            if batch.num_rows == 0:
+                continue
+            # hash all non-null values once, then slice per group
+            nn = vcol.drop_null() if nnull else vcol
+            hashes = hash_arrow_array(nn, input_type) if len(nn) else None
+            if nnull:
+                valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+                nn_pos = np.full(batch.num_rows, -1, dtype=np.int64)
+                nn_pos[valid] = np.arange(len(nn))
+            else:
+                nn_pos = None
+            keys_pdf = batch.select(list(by)).to_pandas()
+            for key, idx in keys_pdf.groupby(list(by), sort=False, dropna=False).indices.items():
+                k = key if isinstance(key, tuple) else (key,)
+                st = states.get(k)
+                if st is None:
+                    st = states[k] = HLL.create(b=b, binbits=binbits)
+                if hashes is None:
+                    continue
+                if nn_pos is not None:
+                    hidx = nn_pos[idx]
+                    hidx = hidx[hidx >= 0]
+                else:
+                    hidx = idx
+                if len(hidx):
+                    st.add_hashes(hashes[hidx])
+            if key_arrays is None:
+                key_arrays = [batch.column(batch.schema.get_field_index(c)) for c in by]
+
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        if not states:
+            return
+        keys = list(states.keys())
+        arrays = []
+        names = []
+        for i, c in enumerate(by):
+            typ = key_arrays[i].type if key_arrays is not None else None
+            vals = [None if v is None or v != v else v for v in (k[i] for k in keys)]  # NaN/NaT → null
+            arrays.append(pa.array(vals, type=typ))
+            names.append(c)
+        arrays.append(pa.array([states[k].to_bytes() for k in keys], type=pa.binary()))
+        names.append("sketch")
+        if lineage:
+            n = len(keys)
+            arrays += [
+                pa.array([pid] * n, type=pa.int32()),
+                pa.array([rows_seen] * n, type=pa.int64()),
+                pa.array([nulls] * n, type=pa.int64()),
+                pa.array([wall_ms] * n, type=pa.float64()),
+            ]
+            names += ["partition_id", "rows_seen", "nulls_skipped", "wall_ms"]
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return build
+
+
+def _merge_rows(sketches: Iterable) -> bytes | None:
+    acc: HLL | None = None
+    for v in sketches:
+        if v is None:
+            continue
+        s = HLL.from_bytes(bytes(v))
+        acc = s if acc is None else acc.merge(s)
+    return None if acc is None else acc.to_bytes()
+
+
+def build_partials(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    b: int = DEFAULT_B,
+    binbits: int = DEFAULT_BINBITS,
+    input_type: str = "auto",
+    lineage: bool = True,
+) -> DataFrame:
+    """Phase 1 only: one partial sketch per (partition, group) with lineage.
+
+    Exposed separately so callers can persist partials as a checkpoint
+    (hllspark.io) — the stored-counter workflow of README.md:135-166.
+    """
+    by = list(by or [])
+    cols = by + [value_col]
+    schema = _partial_schema(df.select(*cols), by, lineage)
+    return df.select(*cols).mapInArrow(_make_builder(value_col, by, b, binbits, input_type, lineage), schema=schema)
+
+
+def merge_partials(
+    partials: DataFrame,
+    by: Sequence[str] | None = None,
+    fanin: int = 64,
+    merge_rounds: int | None = None,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Phase 2: register-max merge of partial sketches (the prefunc,
+    hyperloglog_merge_agg → hll_merge, hyperloglog.c:251-337).
+
+    Grouped: shuffle by key (optionally pre-bucketed when the partial count
+    is huge).  Global: log-depth tree fan-in, never collecting all partials
+    into one task until the fan-in is bounded.
+    """
+    by = list(by or [])
+    out_fields = [f for f in partials.schema.fields if f.name in by]
+    out_fields.append(StructField(sketch_col, BinaryType(), True))
+    out_schema = StructType(out_fields)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {c: [pdf[c].iloc[0]] for c in by}
+        row[sketch_col] = [_merge_rows(pdf[sketch_col])]
+        return pd.DataFrame(row)
+
+    def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: HLL | None = None
+        for pdf in batches:
+            blob = _merge_rows(pdf[sketch_col])
+            if blob is not None:
+                s = HLL.from_bytes(blob)
+                acc = s if acc is None else acc.merge(s)
+        if acc is not None:
+            yield pd.DataFrame({sketch_col: [acc.to_bytes()]})
+
+    if by:
+        nparts = partials.rdd.getNumPartitions()
+        if merge_rounds is None:
+            merge_rounds = 2 if nparts > 256 else 1
+        cur = partials.select(*by, sketch_col)
+        if merge_rounds > 1:
+            # pre-merge within hash buckets to bound per-key reducer fan-in
+            nbuckets = max(2, int(math.sqrt(nparts)))
+            bucket = F.pmod(F.crc32(F.concat_ws("", *[F.col(c).cast("string") for c in by])) + F.spark_partition_id(), F.lit(nbuckets))
+            pre_schema = StructType(list(out_schema.fields) + [StructField("__bucket", IntegerType(), True)])
+
+            def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+                row = {c: [pdf[c].iloc[0]] for c in by}
+                row[sketch_col] = [_merge_rows(pdf[sketch_col])]
+                row["__bucket"] = [int(pdf["__bucket"].iloc[0])]
+                return pd.DataFrame(row)
+
+            cur = (
+                cur.withColumn("__bucket", bucket.cast("int"))
+                .groupBy(*by, "__bucket")
+                .applyInPandas(merge_bucket, schema=pre_schema)
+                .drop("__bucket")
+            )
+        return cur.groupBy(*by).applyInPandas(merge_group, schema=out_schema)
+
+    def merge_partition_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: HLL | None = None
+        for pdf in batches:
+            blob = _merge_rows(pdf[sketch_col])
+            if blob is not None:
+                s = HLL.from_bytes(blob)
+                acc = s if acc is None else acc.merge(s)
+        # empty input → one NULL-sketch row, so hll_estimate_bigint gives 0
+        # (the NULL contract of hyperloglog_get_estimate_bigint, postgres.sql:169-171)
+        yield pd.DataFrame({sketch_col: [None if acc is None else acc.to_bytes()]})
+
+    # global (keyless): iterated fan-in — depth ceil(log_fanin(P))
+    sk_schema = StructType([StructField(sketch_col, BinaryType(), True)])
+    cur = partials.select(sketch_col)
+    n = partials.rdd.getNumPartitions()
+    while n > fanin:
+        n = max(1, math.ceil(n / fanin))
+        cur = cur.repartition(n).mapInPandas(merge_partition, schema=sk_schema)
+    # repartition, NOT coalesce: coalesce(1) would collapse the upstream
+    # builder stage into a single task and serialize the whole scan
+    return cur.repartition(1).mapInPandas(merge_partition_final, schema=sk_schema)
+
+
+def sketch(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    b: int = DEFAULT_B,
+    binbits: int = DEFAULT_BINBITS,
+    input_type: str = "auto",
+    fanin: int = 64,
+    merge_rounds: int | None = None,
+) -> DataFrame:
+    """groupBy(by).hyperloglog_accum(value_col): full two-phase pipeline →
+    DataFrame[by..., sketch binary]."""
+    partials = build_partials(df, value_col, by, b, binbits, input_type, lineage=False)
+    return merge_partials(partials, by, fanin=fanin, merge_rounds=merge_rounds)
+
+
+def distinct(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    b: int = DEFAULT_B,
+    binbits: int = DEFAULT_BINBITS,
+    input_type: str = "auto",
+    bigint: bool = False,
+    est_col: str = "est",
+) -> DataFrame:
+    """hyperloglog_distinct: sketch then estimate → DataFrame[by..., est]."""
+    sk = sketch(df, value_col, by, b, binbits, input_type)
+    est = hll_estimate_bigint(F.col("sketch")) if bigint else hll_estimate(F.col("sketch"))
+    cols = list(by or []) + [est.alias(est_col)]
+    return sk.select(*cols)

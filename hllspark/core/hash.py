@@ -163,10 +163,6 @@ def hash_int32(vals) -> np.ndarray:
     return murmur64_u32(np.asarray(vals, dtype=np.int32).view(np.uint32))
 
 
-def hash_float64(vals) -> np.ndarray:
-    return murmur64_u64(np.asarray(vals, dtype=np.float64).view(np.uint64))
-
-
 def arrow_string_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
     """(flat uint8, int64 offsets) from a pyarrow String/Binary/LargeString array."""
     import pyarrow as pa
@@ -183,6 +179,70 @@ def arrow_string_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
     offsets = np.frombuffer(buffers[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
     data = np.frombuffer(buffers[2], dtype=np.uint8)
     return data, offsets
+
+
+def hash_float64(vals) -> np.ndarray:
+    """Hash float64 values with the *integral-float canonicalization*:
+
+    values that are mathematically integers hash as their int64 LE bytes,
+    everything else as raw IEEE-754 bytes.  Rationale: Spark hands pandas
+    UDFs an int64-with-nulls column as float64 (batch-dependently!), so a
+    pure-dtype dispatch would hash the same logical value differently across
+    batches.  This rule is a pure function of the value, making sketches
+    identical regardless of which path (Arrow or pandas) built them.
+    """
+    v = np.asarray(vals, dtype=np.float64)
+    out = np.empty(len(v), dtype=np.uint64)
+    integral = np.isfinite(v) & (np.floor(v) == v) & (np.abs(v) < 2.0**63)
+    if integral.any():
+        out[integral] = murmur64_u64(v[integral].astype(np.int64).view(np.uint64))
+    rest = ~integral
+    if rest.any():
+        out[rest] = murmur64_u64(v[rest].view(np.uint64))
+    return out
+
+
+def hash_arrow_array(arr, input_type: str = "auto") -> np.ndarray:
+    """Hash a null-free pyarrow Array with per-type canonicalization.
+
+    Mirrors the reference's anyelement handling (hyperloglog_counter.c:536-547):
+    fixed-width by-value types hash their datum bytes little-endian, varlena
+    types hash the raw payload.  Timestamps canonicalize to epoch micros.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if input_type == "auto":
+        if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+            input_type = "timestamp"
+        elif pa.types.is_boolean(t) or pa.types.is_integer(t):
+            input_type = "int64"
+        elif pa.types.is_floating(t):
+            input_type = "float64"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            input_type = "bytes"
+        elif pa.types.is_decimal(t):
+            input_type = "bytes"
+            arr = pc.cast(arr, pa.string())
+        else:
+            raise TypeError(f"cannot hash arrow type {t}")
+    if input_type == "timestamp":
+        if pa.types.is_timestamp(t):
+            arr = pc.cast(arr, pa.timestamp("us", tz=t.tz))
+        return murmur64_u64(arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64))
+    if input_type == "int64":
+        return murmur64_u64(arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64))
+    if input_type == "int32":
+        return murmur64_u32(arr.cast(pa.int32()).to_numpy(zero_copy_only=False).view(np.uint32))
+    if input_type == "float64":
+        return hash_float64(arr.cast(pa.float64()).to_numpy(zero_copy_only=False))
+    if input_type == "bytes":
+        flat, offsets = arrow_string_buffers(arr)
+        return murmur64_bytes(flat, offsets)
+    raise ValueError(f"unknown input_type {input_type!r}")
 
 
 def hash_strings(series) -> np.ndarray:
