@@ -62,7 +62,9 @@ def _partial_schema(df: DataFrame, by: Sequence[str], lineage: bool) -> StructTy
     return StructType(fields)
 
 
-def _make_builder(value_col: str, by: Sequence[str], b: int, binbits: int, input_type: str, lineage: bool):
+def _make_builder(
+    value_col: str, by: Sequence[str], b: int, binbits: int, input_type: str, lineage: bool, hash_kind: int = 0
+):
     """Per-partition partial-sketch builder (the reference's sfunc, run over
     Arrow batches: hyperloglog_add_item_agg_default, hyperloglog_counter.c:495-554).
 
@@ -93,7 +95,7 @@ def _make_builder(value_col: str, by: Sequence[str], b: int, binbits: int, input
             if not by:
                 st = states.get(())
                 if st is None:
-                    st = states[()] = HLL.create(b=b, binbits=binbits)
+                    st = states[()] = HLL.create(b=b, binbits=binbits, hash_kind=hash_kind)
                 nn = vcol.drop_null() if nnull else vcol
                 if len(nn):
                     st.add_hashes(hash_arrow_array(nn, input_type))
@@ -109,12 +111,34 @@ def _make_builder(value_col: str, by: Sequence[str], b: int, binbits: int, input
                 nn_pos[valid] = np.arange(len(nn))
             else:
                 nn_pos = None
-            keys_pdf = batch.select(list(by)).to_pandas()
-            for key, idx in keys_pdf.groupby(list(by), sort=False, dropna=False).indices.items():
-                k = key if isinstance(key, tuple) else (key,)
+            # group the batch by key → (group key, row positions) pairs
+            if len(by) == 1:
+                # arrow-native single-key path: dictionary-encode
+                # (~10× cheaper than pandas groupby on strings per batch)
+                dict_arr = pc.dictionary_encode(batch.column(batch.schema.get_field_index(by[0])))
+                indices = dict_arr.indices
+                uniq = dict_arr.dictionary
+                null_code = len(uniq)
+                if indices.null_count:
+                    indices = indices.fill_null(null_code)
+                codes = indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(codes, kind="stable")
+                bounds = np.searchsorted(codes[order], np.arange(null_code + 2))
+                group_iter = (
+                    ((uniq[ci].as_py(),) if ci < null_code else (None,), order[bounds[ci] : bounds[ci + 1]])
+                    for ci in range(null_code + 1)
+                    if bounds[ci + 1] > bounds[ci]
+                )
+            else:
+                keys_pdf = batch.select(list(by)).to_pandas()
+                group_iter = (
+                    (key if isinstance(key, tuple) else (key,), idx)
+                    for key, idx in keys_pdf.groupby(list(by), sort=False, dropna=False).indices.items()
+                )
+            for k, idx in group_iter:
                 st = states.get(k)
                 if st is None:
-                    st = states[k] = HLL.create(b=b, binbits=binbits)
+                    st = states[k] = HLL.create(b=b, binbits=binbits, hash_kind=hash_kind)
                 if hashes is None:
                     continue
                 if nn_pos is not None:
@@ -164,6 +188,32 @@ def _merge_rows(sketches: Iterable) -> bytes | None:
     return None if acc is None else acc.to_bytes()
 
 
+_STRINGY = ("string", "binary")
+
+
+def _apply_jvm_prehash(df: DataFrame, value_col: str, by: Sequence[str], jvm_prehash) -> tuple[DataFrame, str, str, int]:
+    """Optionally replace a string/binary value column with its JVM-side
+    xxhash64 (whole-stage-codegen).  Only 8 bytes/row then cross the
+    JVM→Python Arrow boundary instead of the raw payload — at web scale this
+    is the difference between shipping terabytes of text into Python workers
+    and shipping a fixed-width hash column.  Resulting sketches carry
+    hash_kind=HASH_XXHASH_SPARK and refuse to merge with murmur-built ones.
+    """
+    from .core.hll import HASH_XXHASH_SPARK
+
+    dtype = dict(df.dtypes).get(value_col, "")
+    if jvm_prehash == "auto":
+        jvm_prehash = dtype in _STRINGY
+    if not jvm_prehash:
+        return df, value_col, "auto", 0
+    hcol = f"__hll_h_{value_col}"
+    # NULL preserved: xxhash64 of NULL yields the seed, so guard explicitly
+    df = df.select(
+        *by, F.when(F.col(value_col).isNull(), None).otherwise(F.xxhash64(value_col)).alias(hcol)
+    )
+    return df, hcol, "prehashed64", HASH_XXHASH_SPARK
+
+
 def build_partials(
     df: DataFrame,
     value_col: str,
@@ -172,6 +222,7 @@ def build_partials(
     binbits: int = DEFAULT_BINBITS,
     input_type: str = "auto",
     lineage: bool = True,
+    jvm_prehash="auto",
 ) -> DataFrame:
     """Phase 1 only: one partial sketch per (partition, group) with lineage.
 
@@ -179,9 +230,14 @@ def build_partials(
     (hllspark.io) — the stored-counter workflow of README.md:135-166.
     """
     by = list(by or [])
+    hash_kind = 0
+    if input_type == "auto":
+        df, value_col, input_type, hash_kind = _apply_jvm_prehash(df.select(*by, value_col), value_col, by, jvm_prehash)
     cols = by + [value_col]
     schema = _partial_schema(df.select(*cols), by, lineage)
-    return df.select(*cols).mapInArrow(_make_builder(value_col, by, b, binbits, input_type, lineage), schema=schema)
+    return df.select(*cols).mapInArrow(
+        _make_builder(value_col, by, b, binbits, input_type, lineage, hash_kind), schema=schema
+    )
 
 
 def merge_partials(
@@ -218,8 +274,10 @@ def merge_partials(
         if acc is not None:
             yield pd.DataFrame({sketch_col: [acc.to_bytes()]})
 
+    # proxy for the partial count: cluster parallelism (avoids df.rdd, whose
+    # DataFrame→RDD plan conversion costs ~1s of driver time per query)
+    nparts = partials.sparkSession.sparkContext.defaultParallelism
     if by:
-        nparts = partials.rdd.getNumPartitions()
         if merge_rounds is None:
             merge_rounds = 2 if nparts > 256 else 1
         cur = partials.select(*by, sketch_col)
@@ -257,13 +315,36 @@ def merge_partials(
     # global (keyless): iterated fan-in — depth ceil(log_fanin(P))
     sk_schema = StructType([StructField(sketch_col, BinaryType(), True)])
     cur = partials.select(sketch_col)
-    n = partials.rdd.getNumPartitions()
+    n = nparts
     while n > fanin:
         n = max(1, math.ceil(n / fanin))
         cur = cur.repartition(n).mapInPandas(merge_partition, schema=sk_schema)
     # repartition, NOT coalesce: coalesce(1) would collapse the upstream
     # builder stage into a single task and serialize the whole scan
     return cur.repartition(1).mapInPandas(merge_partition_final, schema=sk_schema)
+
+
+def merge_partials_driver(partials: DataFrame, by: Sequence[str] | None = None, sketch_col: str = "sketch"):
+    """Collect partial sketches to the driver and merge in numpy.
+
+    For P ≤ ~4096 partials (P × ≤16 KiB = a few MiB) this removes an entire
+    Exchange + single-task stage + Python-worker round trip per query — the
+    same role the coordinator's finalfunc plays in Greenplum (SURVEY.md §3.2).
+    Returns a list of Rows-like tuples [(key..., sketch_bytes)].
+    """
+    by = list(by or [])
+    acc: dict = {}
+    for r in partials.select(*by, sketch_col).collect():
+        k = tuple(r[c] for c in by)
+        blob = r[sketch_col]
+        if blob is None:
+            continue
+        s = HLL.from_bytes(bytes(blob))
+        if k in acc:
+            acc[k].merge(s)
+        else:
+            acc[k] = s
+    return acc
 
 
 def sketch(
@@ -275,10 +356,11 @@ def sketch(
     input_type: str = "auto",
     fanin: int = 64,
     merge_rounds: int | None = None,
+    jvm_prehash="auto",
 ) -> DataFrame:
     """groupBy(by).hyperloglog_accum(value_col): full two-phase pipeline →
     DataFrame[by..., sketch binary]."""
-    partials = build_partials(df, value_col, by, b, binbits, input_type, lineage=False)
+    partials = build_partials(df, value_col, by, b, binbits, input_type, lineage=False, jvm_prehash=jvm_prehash)
     return merge_partials(partials, by, fanin=fanin, merge_rounds=merge_rounds)
 
 
@@ -291,9 +373,34 @@ def distinct(
     input_type: str = "auto",
     bigint: bool = False,
     est_col: str = "est",
+    jvm_prehash="auto",
+    driver_merge: bool | str = "auto",
 ) -> DataFrame:
-    """hyperloglog_distinct: sketch then estimate → DataFrame[by..., est]."""
-    sk = sketch(df, value_col, by, b, binbits, input_type)
+    """hyperloglog_distinct: sketch then estimate → DataFrame[by..., est].
+
+    ``driver_merge``: finalize small partial sets on the driver (coordinator
+    finalfunc role) instead of an extra Spark stage.  "auto" enables it for
+    global sketches on ≤256-way clusters; pass True for grouped queries whose
+    key cardinality is known to be small (e.g. per-lang).
+    """
+    by = list(by or [])
+    spark = df.sparkSession
+    if driver_merge == "auto":
+        driver_merge = not by and spark.sparkContext.defaultParallelism <= 256
+    if driver_merge:
+        partials = build_partials(df, value_col, by, b, binbits, input_type, lineage=False, jvm_prehash=jvm_prehash)
+        acc = merge_partials_driver(partials, by)
+        if not by and not acc:
+            acc = {(): HLL.create(b=b, binbits=binbits)}
+        rows = []
+        for k, s in sorted(acc.items(), key=lambda kv: tuple(str(x) for x in kv[0])):
+            e = s.estimate()
+            rows.append((*k, int(round(e)) if bigint else float(e)))
+        schema_fields = [df.schema[c] for c in by] + [
+            StructField(est_col, LongType() if bigint else DoubleType(), False)
+        ]
+        return spark.createDataFrame(rows, StructType(schema_fields))
+    sk = sketch(df, value_col, by, b, binbits, input_type, jvm_prehash=jvm_prehash)
     est = hll_estimate_bigint(F.col("sketch")) if bigint else hll_estimate(F.col("sketch"))
-    cols = list(by or []) + [est.alias(est_col)]
+    cols = by + [est.alias(est_col)]
     return sk.select(*cols)

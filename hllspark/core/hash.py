@@ -58,58 +58,38 @@ def murmur64_u32(vals: np.ndarray, seed: np.uint64 = HASH_SEED) -> np.ndarray:
     return _fmix(h)
 
 
-def murmur64_bytes(
-    flat: np.ndarray, offsets: np.ndarray, seed: np.uint64 = HASH_SEED
-) -> np.ndarray:
-    """Hash N variable-length byte strings given flat data + int64 offsets.
+_CHUNK = 16384  # rows per chunk — keeps all scratch arrays inside L2 cache
 
-    ``flat`` is uint8 of total payload bytes; ``offsets`` has N+1 entries.
-    Matches MurmurHash64A exactly: 8-byte little-endian blocks, then the
-    1-7 byte tail, then the final mix.
+
+def _murmur64_bytes_chunk(flat, starts, nblocks, tail_len, h):
+    """In-place Murmur block+tail rounds for one sorted chunk (desc nblocks).
+
+    All arithmetic uses out= to avoid fresh temporaries: the whole working
+    set for a 16k-row chunk is ~1 MB, so 32 concurrent workers stay out of
+    each other's way in memory bandwidth.
     """
-    flat = flat.astype(np.uint8, copy=False)
-    offsets = offsets.astype(np.int64, copy=False)
-    starts = offsets[:-1]
-    lens = (offsets[1:] - starts).astype(np.int64)
-    n = len(lens)
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
+    n = len(starts)
+    maxblocks = int(nblocks[0]) if n else 0
+    k = np.empty(n, dtype=np.uint64)
+    t = np.empty(n, dtype=np.uint64)
+    for j in range(maxblocks):
+        cnt = int(np.searchsorted(-nblocks, -(j + 1), side="right"))
+        if cnt == 0:
+            break
+        base = starts[:cnt] + 8 * j
+        # one 2-D gather → little-endian uint64 view (x86 is LE)
+        kb = flat[base[:, None] + _GATHER8].view(np.uint64).ravel()
+        kc = k[:cnt]
+        np.multiply(kb, _M, out=kc)
+        np.right_shift(kc, _R, out=t[:cnt])
+        np.bitwise_xor(kc, t[:cnt], out=kc)
+        np.multiply(kc, _M, out=kc)
+        hh = h[:cnt]
+        np.bitwise_xor(hh, kc, out=hh)
+        np.multiply(hh, _M, out=hh)
 
-    h = np.uint64(seed) ^ (lens.astype(np.uint64) * _M)
-
-    nblocks = lens >> 3
-    maxblocks = int(nblocks.max()) if n else 0
-
-    if maxblocks:
-        # process rows sorted by block count descending → each round is a
-        # contiguous prefix, no per-round boolean scans
-        order = np.argsort(-nblocks, kind="stable")
-        s_starts = starts[order]
-        s_nblocks = nblocks[order]
-        s_h = h[order]
-        # counts[j] = how many rows have > j blocks
-        flat64 = flat  # gather bytes; unaligned so assemble manually
-        for j in range(maxblocks):
-            cnt = int(np.searchsorted(-s_nblocks, -(j + 1), side="right"))
-            if cnt == 0:
-                break
-            base = s_starts[:cnt] + 8 * j
-            k = flat64[base].astype(np.uint64)
-            for i in range(1, 8):
-                k |= flat64[base + i].astype(np.uint64) << _U64_SHIFTS[i]
-            k = k * _M
-            k = k ^ (k >> _R)
-            k = k * _M
-            hh = s_h[:cnt]
-            hh = (hh ^ k) * _M
-            s_h[:cnt] = hh
-        h = np.empty_like(s_h)
-        h[order] = s_h
-
-    tail_len = lens & 7
-    has_tail = tail_len > 0
-    if has_tail.any():
-        rows = np.nonzero(has_tail)[0]
+    if tail_len.any():
+        rows = np.nonzero(tail_len)[0]
         tstart = starts[rows] + (nblocks[rows] << 3)
         tl = tail_len[rows]
         tv = np.zeros(len(rows), dtype=np.uint64)
@@ -120,7 +100,50 @@ def murmur64_bytes(
             tv[m] |= flat[tstart[m] + i].astype(np.uint64) << _U64_SHIFTS[i]
         h[rows] = (h[rows] ^ tv) * _M
 
-    return _fmix(h)
+    # fmix in place
+    np.right_shift(h, _R, out=t)
+    np.bitwise_xor(h, t, out=h)
+    np.multiply(h, _M, out=h)
+    np.right_shift(h, _R, out=t)
+    np.bitwise_xor(h, t, out=h)
+
+
+_GATHER8 = np.arange(8, dtype=np.int64)
+
+
+def murmur64_bytes(
+    flat: np.ndarray, offsets: np.ndarray, seed: np.uint64 = HASH_SEED
+) -> np.ndarray:
+    """Hash N variable-length byte strings given flat data + int64 offsets.
+
+    ``flat`` is uint8 of total payload bytes; ``offsets`` has N+1 entries.
+    Matches MurmurHash64A exactly: 8-byte little-endian blocks, then the
+    1-7 byte tail, then the final mix.  Rows are processed sorted by block
+    count (each Murmur round is a contiguous prefix) in L2-sized chunks.
+    """
+    flat = flat.astype(np.uint8, copy=False)
+    offsets = offsets.astype(np.int64, copy=False)
+    starts = offsets[:-1]
+    lens = (offsets[1:] - starts).astype(np.int64)
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+
+    nblocks = lens >> 3
+    tail_len = lens & 7
+
+    out = np.empty(n, dtype=np.uint64)
+    for lo in range(0, n, _CHUNK):
+        hi = min(lo + _CHUNK, n)
+        # sort within the chunk only — permutation scratch stays in cache
+        order = np.argsort(-nblocks[lo:hi], kind="stable")
+        c_starts = starts[lo:hi][order]
+        c_nblocks = nblocks[lo:hi][order]
+        c_tail = tail_len[lo:hi][order]
+        c_h = np.uint64(seed) ^ (lens[lo:hi][order].astype(np.uint64) * _M)
+        _murmur64_bytes_chunk(flat, c_starts, c_nblocks, c_tail, c_h)
+        out[lo:hi][order] = c_h
+    return out
 
 
 def clz64(x: np.ndarray) -> np.ndarray:
@@ -229,6 +252,10 @@ def hash_arrow_array(arr, input_type: str = "auto") -> np.ndarray:
             arr = pc.cast(arr, pa.string())
         else:
             raise TypeError(f"cannot hash arrow type {t}")
+    if input_type == "prehashed64":
+        # the column already IS a 64-bit hash (e.g. JVM-side xxhash64) —
+        # reinterpret, don't rehash
+        return arr.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
     if input_type == "timestamp":
         if pa.types.is_timestamp(t):
             arr = pc.cast(arr, pa.timestamp("us", tz=t.tz))

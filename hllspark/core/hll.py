@@ -53,6 +53,11 @@ DEFAULT_NDISTINCT = float(2**63)
 
 _HEADER = struct.Struct("<BbBBi")  # version, b, binbits, flags, idx
 _FLAG_DENSE = 1
+# bits 1-2 of flags: hash kind — sketches hashed differently must never merge
+HASH_MURMUR = 0  # MurmurHash64A seed 0xadc83b19 (reference-parity)
+HASH_XXHASH_SPARK = 1  # Spark JVM xxhash64(seed=42) pre-hashing (scale path)
+_HASH_KIND_SHIFT = 1
+_HASH_KIND_MASK = 0b110
 
 
 def params_from_error(error: float = DEFAULT_ERROR, ndistinct: float = DEFAULT_NDISTINCT) -> tuple[int, int]:
@@ -248,13 +253,21 @@ class HLL:
     """One HLL++ counter. ``sparse`` is a sorted-unique uint32 encode list,
     or ``dense`` is an unpacked uint8[2^b] register array — never both."""
 
-    __slots__ = ("b", "binbits", "sparse", "dense")
+    __slots__ = ("b", "binbits", "sparse", "dense", "hash_kind")
 
-    def __init__(self, b: int, binbits: int, sparse: np.ndarray | None, dense: np.ndarray | None):
+    def __init__(
+        self,
+        b: int,
+        binbits: int,
+        sparse: np.ndarray | None,
+        dense: np.ndarray | None,
+        hash_kind: int = HASH_MURMUR,
+    ):
         self.b = b
         self.binbits = binbits
         self.sparse = sparse
         self.dense = dense
+        self.hash_kind = hash_kind
 
     # -- construction -------------------------------------------------------
 
@@ -265,6 +278,7 @@ class HLL:
         ndistinct: float = DEFAULT_NDISTINCT,
         b: int | None = None,
         binbits: int | None = None,
+        hash_kind: int = HASH_MURMUR,
     ) -> "HLL":
         if b is None or binbits is None:
             db, dbin = params_from_error(error_rate, ndistinct)
@@ -275,8 +289,8 @@ class HLL:
         if not (MIN_BINBITS <= binbits <= MAX_BINBITS):
             raise ValueError(f"binbits must be in [{MIN_BINBITS}, {MAX_BINBITS}]")
         if sparse_capacity(b) > 0:
-            return cls(b, binbits, np.empty(0, dtype=np.uint32), None)
-        return cls(b, binbits, None, np.zeros(1 << b, dtype=np.uint8))
+            return cls(b, binbits, np.empty(0, dtype=np.uint32), None, hash_kind)
+        return cls(b, binbits, None, np.zeros(1 << b, dtype=np.uint8), hash_kind)
 
     def copy(self) -> "HLL":
         return HLL(
@@ -284,6 +298,7 @@ class HLL:
             self.binbits,
             None if self.sparse is None else self.sparse.copy(),
             None if self.dense is None else self.dense.copy(),
+            self.hash_kind,
         )
 
     @property
@@ -322,6 +337,8 @@ class HLL:
             raise ValueError(f"index size of estimators differs ({self.b} != {other.b})")
         if self.binbits != other.binbits:
             raise ValueError(f"bin size of estimators differs ({self.binbits} != {other.binbits})")
+        if self.hash_kind != other.hash_kind:
+            raise ValueError(f"hash kind of estimators differs ({self.hash_kind} != {other.hash_kind})")
         if self.dense is not None and other.dense is not None:
             np.maximum(self.dense, other.dense, out=self.dense)
         elif self.dense is not None:
@@ -355,7 +372,7 @@ class HLL:
         return c.dense
 
     def equals(self, other: "HLL") -> bool:
-        if self.b != other.b or self.binbits != other.binbits:
+        if self.b != other.b or self.binbits != other.binbits or self.hash_kind != other.hash_kind:
             raise ValueError("estimator parameters differ")
         if self.is_sparse and other.is_sparse:
             return len(self.sparse) == len(other.sparse) and bool(np.array_equal(self.sparse, other.sparse))
@@ -375,6 +392,7 @@ class HLL:
             "version": STRUCT_VERSION,
             "b": self.b,
             "binbits": self.binbits,
+            "hash_kind": self.hash_kind,
             "encoding": "sparse" if self.is_sparse else "dense",
             "sparse_entries": -1 if self.sparse is None else int(len(self.sparse)),
             "sparse_capacity": sparse_capacity(self.b),
@@ -385,10 +403,11 @@ class HLL:
     # -- serialization ------------------------------------------------------
 
     def to_bytes(self) -> bytes:
+        hk = (self.hash_kind << _HASH_KIND_SHIFT) & _HASH_KIND_MASK
         if self.sparse is not None:
             payload = self.sparse.astype("<u4", copy=False).tobytes()
-            return _HEADER.pack(STRUCT_VERSION, self.b, self.binbits, 0, len(self.sparse)) + payload
-        return _HEADER.pack(STRUCT_VERSION, self.b, self.binbits, _FLAG_DENSE, -1) + self.dense.tobytes()
+            return _HEADER.pack(STRUCT_VERSION, self.b, self.binbits, hk, len(self.sparse)) + payload
+        return _HEADER.pack(STRUCT_VERSION, self.b, self.binbits, _FLAG_DENSE | hk, -1) + self.dense.tobytes()
 
     def serialized_size(self) -> int:
         n = len(self.sparse) * 4 if self.sparse is not None else (1 << self.b)
@@ -402,11 +421,12 @@ class HLL:
         # versions 1/2 share this layout; older versions would be upgraded here
         # (mirrors hyperloglog_update / upgrade.c:24-60)
         payload = data[_HEADER.size :]
+        hash_kind = (flags & _HASH_KIND_MASK) >> _HASH_KIND_SHIFT
         if flags & _FLAG_DENSE:
             regs = np.frombuffer(payload, dtype=np.uint8, count=1 << b).copy()
-            return cls(b, binbits, None, regs)
+            return cls(b, binbits, None, regs, hash_kind)
         enc = np.frombuffer(payload, dtype="<u4", count=idx).astype(np.uint32)
-        return cls(b, binbits, enc, None)
+        return cls(b, binbits, enc, None, hash_kind)
 
 
 # -- pairwise/estimate helpers used by the Spark functions layer -------------
