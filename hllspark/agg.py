@@ -63,7 +63,14 @@ def _partial_schema(df: DataFrame, by: Sequence[str], lineage: bool) -> StructTy
 
 
 def _make_builder(
-    value_col: str, by: Sequence[str], b: int, binbits: int, input_type: str, lineage: bool, hash_kind: int = 0
+    value_col: str,
+    by: Sequence[str],
+    b: int,
+    binbits: int,
+    input_type: str,
+    lineage: bool,
+    hash_kind: int = 0,
+    factory=None,
 ):
     """Per-partition partial-sketch builder (the reference's sfunc, run over
     Arrow batches: hyperloglog_add_item_agg_default, hyperloglog_counter.c:495-554).
@@ -71,7 +78,9 @@ def _make_builder(
     Runs as mapInArrow — raw Arrow RecordBatches, no pandas conversion — so
     int64 columns with NULLs keep exact values (Spark's pandas conversion
     would degrade them to float64) and string hashing reads the Arrow
-    buffers zero-copy.
+    buffers zero-copy.  ``factory`` overrides the per-group state
+    constructor — any object with ``update_arrow(arr, input_type)`` /
+    ``merge`` / ``to_bytes`` works (the Sketch protocol of hllspark.sketches).
     """
 
     def build(batches):
@@ -92,19 +101,26 @@ def _make_builder(
             vcol = batch.column(batch.schema.get_field_index(value_col))
             nnull = vcol.null_count
             nulls += nnull
+            make_state = factory if factory is not None else (
+                lambda: HLL.create(b=b, binbits=binbits, hash_kind=hash_kind)
+            )
             if not by:
                 st = states.get(())
                 if st is None:
-                    st = states[()] = HLL.create(b=b, binbits=binbits, hash_kind=hash_kind)
+                    st = states[()] = make_state()
                 nn = vcol.drop_null() if nnull else vcol
                 if len(nn):
-                    st.add_hashes(hash_arrow_array(nn, input_type))
+                    st.update_arrow(nn, input_type)
                 continue
             if batch.num_rows == 0:
                 continue
-            # hash all non-null values once, then slice per group
+            # hash-based fast path: hash all non-null values once, slice per
+            # group; generic sketches get per-group arrow takes instead
             nn = vcol.drop_null() if nnull else vcol
-            hashes = hash_arrow_array(nn, input_type) if len(nn) else None
+            if factory is None:
+                hashes = hash_arrow_array(nn, input_type) if len(nn) else None
+            else:
+                hashes = None
             if nnull:
                 valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
                 nn_pos = np.full(batch.num_rows, -1, dtype=np.int64)
@@ -138,16 +154,18 @@ def _make_builder(
             for k, idx in group_iter:
                 st = states.get(k)
                 if st is None:
-                    st = states[k] = HLL.create(b=b, binbits=binbits, hash_kind=hash_kind)
-                if hashes is None:
-                    continue
+                    st = states[k] = make_state()
                 if nn_pos is not None:
                     hidx = nn_pos[idx]
                     hidx = hidx[hidx >= 0]
                 else:
                     hidx = idx
-                if len(hidx):
+                if len(hidx) == 0:
+                    continue
+                if hashes is not None:
                     st.add_hashes(hashes[hidx])
+                elif factory is not None:
+                    st.update_arrow(nn.take(pa.array(hidx)), input_type)
             if key_arrays is None:
                 key_arrays = [batch.column(batch.schema.get_field_index(c)) for c in by]
 
@@ -178,12 +196,12 @@ def _make_builder(
     return build
 
 
-def _merge_rows(sketches: Iterable) -> bytes | None:
+def _merge_rows(sketches: Iterable, cls=HLL) -> bytes | None:
     acc: HLL | None = None
     for v in sketches:
         if v is None:
             continue
-        s = HLL.from_bytes(bytes(v))
+        s = cls.from_bytes(bytes(v))
         acc = s if acc is None else acc.merge(s)
     return None if acc is None else acc.to_bytes()
 
@@ -223,20 +241,22 @@ def build_partials(
     input_type: str = "auto",
     lineage: bool = True,
     jvm_prehash="auto",
+    factory=None,
 ) -> DataFrame:
     """Phase 1 only: one partial sketch per (partition, group) with lineage.
 
     Exposed separately so callers can persist partials as a checkpoint
     (hllspark.io) — the stored-counter workflow of README.md:135-166.
+    ``factory`` switches the state type to any Sketch-protocol object.
     """
     by = list(by or [])
     hash_kind = 0
-    if input_type == "auto":
+    if input_type == "auto" and factory is None:
         df, value_col, input_type, hash_kind = _apply_jvm_prehash(df.select(*by, value_col), value_col, by, jvm_prehash)
     cols = by + [value_col]
     schema = _partial_schema(df.select(*cols), by, lineage)
     return df.select(*cols).mapInArrow(
-        _make_builder(value_col, by, b, binbits, input_type, lineage, hash_kind), schema=schema
+        _make_builder(value_col, by, b, binbits, input_type, lineage, hash_kind, factory), schema=schema
     )
 
 
@@ -246,6 +266,7 @@ def merge_partials(
     fanin: int = 64,
     merge_rounds: int | None = None,
     sketch_col: str = "sketch",
+    cls=HLL,
 ) -> DataFrame:
     """Phase 2: register-max merge of partial sketches (the prefunc,
     hyperloglog_merge_agg → hll_merge, hyperloglog.c:251-337).
@@ -261,15 +282,15 @@ def merge_partials(
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         row = {c: [pdf[c].iloc[0]] for c in by}
-        row[sketch_col] = [_merge_rows(pdf[sketch_col])]
+        row[sketch_col] = [_merge_rows(pdf[sketch_col], cls)]
         return pd.DataFrame(row)
 
     def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: HLL | None = None
         for pdf in batches:
-            blob = _merge_rows(pdf[sketch_col])
+            blob = _merge_rows(pdf[sketch_col], cls)
             if blob is not None:
-                s = HLL.from_bytes(blob)
+                s = cls.from_bytes(blob)
                 acc = s if acc is None else acc.merge(s)
         if acc is not None:
             yield pd.DataFrame({sketch_col: [acc.to_bytes()]})
@@ -289,7 +310,7 @@ def merge_partials(
 
             def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
                 row = {c: [pdf[c].iloc[0]] for c in by}
-                row[sketch_col] = [_merge_rows(pdf[sketch_col])]
+                row[sketch_col] = [_merge_rows(pdf[sketch_col], cls)]
                 row["__bucket"] = [int(pdf["__bucket"].iloc[0])]
                 return pd.DataFrame(row)
 
@@ -304,9 +325,9 @@ def merge_partials(
     def merge_partition_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: HLL | None = None
         for pdf in batches:
-            blob = _merge_rows(pdf[sketch_col])
+            blob = _merge_rows(pdf[sketch_col], cls)
             if blob is not None:
-                s = HLL.from_bytes(blob)
+                s = cls.from_bytes(blob)
                 acc = s if acc is None else acc.merge(s)
         # empty input → one NULL-sketch row, so hll_estimate_bigint gives 0
         # (the NULL contract of hyperloglog_get_estimate_bigint, postgres.sql:169-171)
@@ -324,7 +345,7 @@ def merge_partials(
     return cur.repartition(1).mapInPandas(merge_partition_final, schema=sk_schema)
 
 
-def merge_partials_driver(partials: DataFrame, by: Sequence[str] | None = None, sketch_col: str = "sketch"):
+def merge_partials_driver(partials: DataFrame, by: Sequence[str] | None = None, sketch_col: str = "sketch", cls=HLL):
     """Collect partial sketches to the driver and merge in numpy.
 
     For P ≤ ~4096 partials (P × ≤16 KiB = a few MiB) this removes an entire
@@ -339,7 +360,7 @@ def merge_partials_driver(partials: DataFrame, by: Sequence[str] | None = None, 
         blob = r[sketch_col]
         if blob is None:
             continue
-        s = HLL.from_bytes(bytes(blob))
+        s = cls.from_bytes(bytes(blob))
         if k in acc:
             acc[k].merge(s)
         else:
@@ -404,3 +425,24 @@ def distinct(
     est = hll_estimate_bigint(F.col("sketch")) if bigint else hll_estimate(F.col("sketch"))
     cols = by + [est.alias(est_col)]
     return sk.select(*cols)
+
+
+def sketch_generic(
+    df: DataFrame,
+    value_col: str,
+    factory,
+    cls,
+    by: Sequence[str] | None = None,
+    input_type: str = "auto",
+    fanin: int = 64,
+    merge_rounds: int | None = None,
+) -> DataFrame:
+    """Two-phase pipeline for ANY Sketch-protocol class (count-min, Bloom,
+    t-digest, KLL, MinHash, ...): same partial/merge topology as HLL.
+
+    ``factory``: zero-arg constructor for a fresh state (e.g.
+    ``lambda: CountMin.create(width=4096, depth=5)``); ``cls`` provides
+    ``from_bytes`` for the merge phase.
+    """
+    partials = build_partials(df, value_col, by, input_type=input_type, lineage=False, factory=factory)
+    return merge_partials(partials, by, fanin=fanin, merge_rounds=merge_rounds, cls=cls)

@@ -315,6 +315,12 @@ class HLL:
         self.sparse = None
         self.dense = regs
 
+    def update_arrow(self, arr, input_type: str = "auto") -> None:
+        """Sketch-protocol update: hash a null-free Arrow array and add it."""
+        from .hash import hash_arrow_array
+
+        self.add_hashes(hash_arrow_array(arr, input_type))
+
     def add_hashes(self, h: np.ndarray) -> None:
         """Add a batch of already-hashed 64-bit values."""
         h = h.astype(np.uint64, copy=False)

@@ -1,0 +1,68 @@
+"""Generic two-phase executor over the sibling sketches on Spark, asserted
+against exact answers computed in Spark."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hllspark import agg
+from hllspark.core.hash import hash_int64, hash_strings
+from hllspark.sketches import KLL, Bloom, CountMin, MinHash, TDigest
+
+
+def test_countmin_frequencies_on_events(spark, sf01_dir):
+    e = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    sk = agg.sketch_generic(e, "event_type", lambda: CountMin.create(width=4096, depth=5), CountMin)
+    cm = CountMin.from_bytes(bytes(sk.first()["sketch"]))
+    exact = {r["event_type"]: r["c"] for r in e.groupBy("event_type").count().withColumnRenamed("count", "c").collect()}
+    import pandas as pd
+
+    keys = pd.Series(list(exact))
+    est = cm.query_hashes(hash_strings(keys))
+    bound = cm.epsilon * cm.total
+    for k, v in zip(keys, est):
+        assert exact[k] <= v <= exact[k] + 3 * bound
+    assert cm.total == e.count()
+
+
+def test_tdigest_quantiles_on_lineitem(spark, sf01_dir):
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    sk = agg.sketch_generic(li, "l_extendedprice", lambda: TDigest.create(delta=100), TDigest)
+    td = TDigest.from_bytes(bytes(sk.first()["sketch"]))
+    vals = np.array([r[0] for r in li.select("l_extendedprice").collect()])
+    s = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        rank = np.searchsorted(s, td.quantile(q)) / len(s)
+        assert abs(rank - q) < 0.02, (q, rank)
+    assert td.total == pytest.approx(len(vals))
+
+
+def test_kll_grouped_quantiles(spark, sf01_dir):
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    sk = agg.sketch_generic(li, "l_quantity", lambda: KLL.create(k=200), KLL, by=["l_returnflag"])
+    rows = {r["l_returnflag"]: KLL.from_bytes(bytes(r["sketch"])) for r in sk.collect()}
+    assert len(rows) == 3
+    exact_mid = {
+        r["l_returnflag"]: r["m"]
+        for r in li.groupBy("l_returnflag").agg(F.expr("percentile(l_quantity, 0.5)").alias("m")).collect()
+    }
+    for flag, k in rows.items():
+        # l_quantity is integer-ish 1..50 → median should land within ±1
+        assert abs(k.quantile(0.5) - exact_mid[flag]) <= 1.5
+
+
+def test_bloom_membership_on_orders(spark, sf001_dir):
+    o = spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    sk = agg.sketch_generic(o, "o_orderkey", lambda: Bloom.create(m_bits=1 << 18, k=7), Bloom)
+    bf = Bloom.from_bytes(bytes(sk.first()["sketch"]))
+    keys = np.array([r[0] for r in o.select("o_orderkey").collect()], dtype=np.int64)
+    assert bf.contains_hashes(hash_int64(keys)).all()
+    absent = np.arange(10**9, 10**9 + 20_000, dtype=np.int64)
+    assert bf.contains_hashes(hash_int64(absent)).mean() < 0.05
+
+
+def test_minhash_partition_invariance(spark, sf001_dir):
+    li = spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
+    a = bytes(agg.sketch_generic(li.repartition(3), "l_partkey", lambda: MinHash.create(k=128), MinHash).first()["sketch"])
+    b = bytes(agg.sketch_generic(li.repartition(11), "l_partkey", lambda: MinHash.create(k=128), MinHash).first()["sketch"])
+    assert a == b  # elementwise-min merge → byte-identical at any parallelism
