@@ -205,6 +205,215 @@ def q_golden_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sibling sketches (SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_countmin_event_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count-min point queries vs exact frequencies (est ∈ [exact, exact+3εN])."""
+    import pandas as pd
+
+    from hllspark import agg
+    from hllspark.core.hash import hash_strings
+    from hllspark.sketches import CountMin
+
+    e = _read(spark, sf_dir, "events")
+    cm = CountMin.from_bytes(
+        bytes(agg.sketch_generic(e, "event_type", lambda: CountMin.create(width=4096, depth=5), CountMin).first()["sketch"])
+    )
+    exact = {r["event_type"]: r["c"] for r in e.groupBy("event_type").agg(F.count("*").alias("c")).collect()}
+    keys = sorted(exact)
+    est = cm.query_hashes(hash_strings(pd.Series(keys)))
+    bound = 3 * cm.epsilon * cm.total
+    rows = [(k, int(exact[k]), bool(exact[k] <= int(v) <= exact[k] + bound)) for k, v in zip(keys, est)]
+    return spark.createDataFrame(rows, "event_type string, exact_freq long, within_bound boolean")
+
+
+def q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles checked in RANK space (≤2% rank error)."""
+    from hllspark import agg
+    from hllspark.sketches import TDigest
+
+    li = _read(spark, sf_dir, "lineitem")
+    td = TDigest.from_bytes(
+        bytes(agg.sketch_generic(li, "l_extendedprice", lambda: TDigest.create(delta=100), TDigest).first()["sketch"])
+    )
+    n = li.count()
+    rows = []
+    for name, q in (("q10", 0.1), ("q50", 0.5), ("q90", 0.9)):
+        v = td.quantile(q)
+        rank = li.filter(F.col("l_extendedprice") <= v).count() / n
+        rows.append((name, bool(abs(rank - q) <= 0.02)))
+    return spark.createDataFrame(rows, "quantile string, within_bound boolean")
+
+
+def q_kll_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hllspark import agg
+    from hllspark.sketches import KLL
+
+    li = _read(spark, sf_dir, "lineitem")
+    k = KLL.from_bytes(
+        bytes(agg.sketch_generic(li, "l_quantity", lambda: KLL.create(k=200), KLL).first()["sketch"])
+    )
+    n = li.count()
+    rows = []
+    for name, q in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75)):
+        v = k.quantile(q)
+        # l_quantity is discrete; rank of the returned value must bracket q
+        lo = li.filter(F.col("l_quantity") < v).count() / n
+        hi = li.filter(F.col("l_quantity") <= v).count() / n
+        rows.append((name, bool(lo - 0.03 <= q <= hi + 0.03)))
+    return spark.createDataFrame(rows, "quantile string, within_bound boolean")
+
+
+def q_bloom_orderkey_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from hllspark import agg
+    from hllspark.core.hash import hash_int64
+    from hllspark.sketches import Bloom
+
+    o = _read(spark, sf_dir, "orders")
+    bf = Bloom.from_bytes(
+        bytes(agg.sketch_generic(o, "o_orderkey", lambda: Bloom.create(m_bits=1 << 20, k=7), Bloom).first()["sketch"])
+    )
+    present = np.array([r[0] for r in o.select("o_orderkey").limit(1000).collect()], dtype=np.int64)
+    absent = np.arange(10**12, 10**12 + 20_000, dtype=np.int64)
+    no_false_neg = bool(bf.contains_hashes(hash_int64(present)).all())
+    fp = float(bf.contains_hashes(hash_int64(absent)).mean())
+    return spark.createDataFrame(
+        [(no_false_neg, bool(fp <= 3 * max(bf.fp_rate(), 1e-4)))], "no_false_negatives boolean, fp_rate_ok boolean"
+    )
+
+
+def q_minhash_jaccard_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard of two real sets vs the exact Jaccard (SQL-checkable)."""
+    from hllspark import agg
+    from hllspark.sketches import MinHash
+
+    li = _read(spark, sf_dir, "lineitem")
+    a = MinHash.from_bytes(
+        bytes(
+            agg.sketch_generic(
+                li.filter(F.col("l_returnflag") == "A"), "l_partkey", lambda: MinHash.create(k=256), MinHash
+            ).first()["sketch"]
+        )
+    )
+    r = MinHash.from_bytes(
+        bytes(
+            agg.sketch_generic(
+                li.filter(F.col("l_returnflag") == "R"), "l_partkey", lambda: MinHash.create(k=256), MinHash
+            ).first()["sketch"]
+        )
+    )
+    sa = li.filter(F.col("l_returnflag") == "A").select("l_partkey").distinct()
+    sr = li.filter(F.col("l_returnflag") == "R").select("l_partkey").distinct()
+    inter = sa.intersect(sr).count()
+    union = sa.union(sr).distinct().count()
+    exact_j = inter / union
+    est = a.jaccard(r)
+    # σ = sqrt(J(1-J)/k); allow 4σ
+    sigma = (exact_j * (1 - exact_j) / 256) ** 0.5
+    return spark.createDataFrame(
+        [(int(inter), int(union), bool(abs(est - exact_j) <= 4 * sigma + 1e-9))],
+        "exact_inter long, exact_union long, within_bound boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (dedup / text / ANN)
+# ---------------------------------------------------------------------------
+
+
+def q_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hllspark.pipeline import text
+
+    d = _read(spark, sf_dir, "documents")
+    return d.agg(F.sum(text.token_count("text")).alias("total_tokens"))
+
+
+def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hllspark.pipeline import text
+
+    d = text.quality_features(_read(spark, sf_dir, "documents"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("q_chars") == F.col("n_chars"), 1).otherwise(0)).alias("chars_match"),
+        F.sum(F.when(F.col("q_score") >= 0.75, 1).otherwise(0)).alias("high_quality"),
+    )
+
+
+def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hllspark.pipeline import dedup
+
+    d = _read(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(d, "text", "doc_id", normalize=False).count()
+    return spark.createDataFrame([(int(kept),)], "kept long")
+
+
+def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic near-dup pair count over the documents table (the
+    fixture ships ~25 built-in J≥0.92 pairs; signatures are seed-fixed)."""
+    from hllspark.pipeline import dedup
+
+    d = _read(spark, sf_dir, "documents")
+    n = dedup.verified_pairs(d, "doc_id", "text", k=128, bands=32, threshold=0.8).count()
+    return spark.createDataFrame([(int(n),)], "n_pairs long")
+
+
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hllspark.pipeline import dedup
+
+    d = _read(spark, sf_dir, "documents")
+    sim = dedup.simhash_signatures(d, "doc_id", "text")
+    n = dedup.simhash_near_pairs(sim, "doc_id", max_hamming=3).count()
+    return spark.createDataFrame([(int(n),)], "n_pairs long")
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for vec_id=0 — DuckDB recomputes exactly."""
+    import numpy as np
+
+    from hllspark.pipeline import ann
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q0 = np.array(emb.filter(F.col("vec_id") == 0).first()["embedding"], dtype=np.float32)
+    top = ann.topk_cosine(emb, q0[None, :], k=10)[0]
+    return spark.createDataFrame([(int(i),) for i, _ in top], "vec_id long")
+
+
+def q_lang_id_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hllspark.pipeline import text
+
+    samples = [
+        (1, "The weather is nice today and the children are playing in the park."),
+        (2, "El tiempo es agradable hoy y los niños juegan en el parque."),
+        (3, "Das Wetter ist heute schön und die Kinder spielen im Park."),
+        (4, "Le temps est agréable aujourd'hui et les enfants jouent dans le parc."),
+        (5, "Погода сегодня хорошая и дети играют в парке."),
+        (6, "今天天气很好孩子们在公园里玩耍非常开心。"),
+        (7, "今日は天気がよくて子供たちは公園で遊んでいます。"),
+    ]
+    df = spark.createDataFrame(samples, "id int, t string")
+    return df.select("id", text.lang_id(F.col("t")).alias("pred")).orderBy("id")
+
+
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (no SQL oracle): fake-codec decode + feature extract
+    through the real Arrow plumbing."""
+    from pyspark.sql import Row
+
+    from hllspark.pipeline import multimodal as mm
+
+    codec = mm.FakeCodec()
+    rows = [
+        Row(media_id=i, payload=codec.make_image(32, 24, seed=i), meta=None) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, mm.media_schema())
+    return mm.image_features(df, codec=codec).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
 # contract entry points
 # ---------------------------------------------------------------------------
 
@@ -225,6 +434,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_series": q_golden_series,
         "golden_setops": q_golden_setops,
         "golden_grouped_sum": q_golden_grouped_sum,
+        "countmin_event_freq": q_countmin_event_freq,
+        "tdigest_price_quantiles": q_tdigest_price_quantiles,
+        "kll_quantity_quantiles": q_kll_quantity_quantiles,
+        "bloom_orderkey_membership": q_bloom_orderkey_membership,
+        "minhash_jaccard_flags": q_minhash_jaccard_flags,
+        "token_count_documents": q_token_count_documents,
+        "quality_documents": q_quality_documents,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "lang_id_samples": q_lang_id_samples,
+        "multimodal_image_features": q_multimodal_image_features,
     }
 
 
@@ -272,4 +494,47 @@ def oracle_sql() -> dict[str, str]:
             ") AS t(fixture, est_micro)"
         ),
         "golden_grouped_sum": "SELECT CAST(39920 AS BIGINT) AS sum_est",
+        "countmin_event_freq": (
+            "SELECT event_type, count(*) AS exact_freq, TRUE AS within_bound "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "tdigest_price_quantiles": (
+            "SELECT * FROM (VALUES ('q10', TRUE), ('q50', TRUE), ('q90', TRUE)) AS t(quantile, within_bound)"
+        ),
+        "kll_quantity_quantiles": (
+            "SELECT * FROM (VALUES ('q25', TRUE), ('q50', TRUE), ('q75', TRUE)) AS t(quantile, within_bound)"
+        ),
+        "bloom_orderkey_membership": "SELECT TRUE AS no_false_negatives, TRUE AS fp_rate_ok",
+        "minhash_jaccard_flags": (
+            "WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'), "
+            "r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R') "
+            "SELECT (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM r)) AS exact_inter, "
+            "(SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM r)) AS exact_union, "
+            "TRUE AS within_bound"
+        ),
+        "token_count_documents": (
+            "SELECT CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) "
+            "AS total_tokens FROM documents"
+        ),
+        "quality_documents": (
+            "SELECT count(*) AS n_docs, "
+            "CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS chars_match, "
+            "count(*) AS high_quality FROM documents"
+        ),
+        "exact_dedup_documents": "SELECT count(DISTINCT text) AS kept FROM documents",
+        # deterministic under the fixed signature seeds (measured; the
+        # documents fixture ships ~25 built-in J>=0.92 near-dup pairs)
+        "minhash_near_dup_pairs": "SELECT CAST(24 AS BIGINT) AS n_pairs",
+        "simhash_near_dup_pairs": "SELECT CAST(20 AS BIGINT) AS n_pairs",
+        "ann_topk_cosine": (
+            "WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id FROM embeddings "
+            "ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC, vec_id LIMIT 10"
+        ),
+        "lang_id_samples": (
+            "SELECT * FROM (VALUES (1, 'en'), (2, 'es'), (3, 'de'), (4, 'fr'), "
+            "(5, 'ru'), (6, 'zh'), (7, 'ja')) AS t(id, pred) ORDER BY id"
+        ),
+        # multimodal_image_features intentionally has no oracle (rows-only):
+        # fake-codec features aren't SQL-expressible
     }

@@ -1,0 +1,215 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two paths (SURVEY mandate: brute-force baseline + a bucketed scale path):
+
+- ``topk_cosine``: exact brute-force — per-partition numpy matmul top-k in
+  mapInArrow (Arrow list<float> → contiguous matrix, one GEMV per query
+  batch), then a driver merge of per-partition candidates.  The only data
+  crossing into Python is the embedding matrix already needed for the math.
+
+- ``lsh_index`` / ``topk_cosine_lsh``: random-hyperplane LSH (Charikar
+  2002) — sign bits of h seeded Gaussian projections form a bucket key;
+  queries probe their own bucket plus multi-probe neighbors (1-bit flips),
+  so the scan touches ~(probes/2^h) of the data.  All bucketing is a plain
+  Spark groupBy-able column; recall/speed tunes with (h, probes).
+
+- ``ivf_index`` / ``topk_cosine_ivf``: k-means coarse quantizer (trained on
+  a driver-side sample, Lloyd iterations in numpy) + nprobe nearest
+  centroids — the classic IVF-Flat layout, with the posting-list scan as a
+  partition-pruned Spark filter.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _matrix(col, dim: int) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) float32 matrix (zero-copy values)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    return values.reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def topk_cosine(
+    df: DataFrame,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple]]:
+    """Exact top-k by cosine for each query vector (brute force baseline).
+
+    Returns, per query, a list of (id, cosine) sorted descending.  Each
+    partition emits its local top-k (mapInArrow GEMM); the driver merges
+    P×k×Q candidates — tiny versus the scan.
+    """
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    nq, dim = q.shape
+    qT = q.T.copy()
+
+    def scan(batches) -> Iterator:
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(zero_copy_only=False)
+            m = _normalize(_matrix(batch.column(batch.schema.get_field_index(vec_col)), dim))
+            sims = m @ qT  # (n, nq)
+            kk = min(k, len(ids))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            out_ids = ids[top].T.ravel()  # (nq*kk)
+            out_sims = np.take_along_axis(sims, top, axis=0).T.ravel()
+            out_q = np.repeat(np.arange(nq), kk)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_q, type=pa.int32()), pa.array(out_ids), pa.array(out_sims, type=pa.float32())],
+                names=["q", "id", "sim"],
+            )
+
+    cand = df.select(id_col, vec_col).mapInArrow(scan, schema="q int, id long, sim float").collect()
+    results: list[list[tuple]] = [[] for _ in range(nq)]
+    for r in cand:
+        results[r["q"]].append((r["sim"], r["id"]))
+    return [
+        [(i, float(s)) for s, i in heapq.nlargest(k, res)]
+        for res in results
+    ]
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, h: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(dim, h)).astype(np.float32)
+
+
+def lsh_index(
+    df: DataFrame,
+    dim: int,
+    h: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append a ``bucket`` column: sign-bit key of h random hyperplanes.
+    Persist this (or partition/bucket the table by it) as the ANN index."""
+    planes = _hyperplanes(dim, h, seed)
+
+    def assign(batches) -> Iterator:
+        import pyarrow as pa
+
+        for batch in batches:
+            m = _matrix(batch.column(batch.schema.get_field_index(vec_col)), dim)
+            bits = (m @ planes) > 0
+            bucket = np.zeros(len(m), dtype=np.int64)
+            for j in range(planes.shape[1]):
+                bucket |= bits[:, j].astype(np.int64) << j
+            arrays = [batch.column(i) for i in range(batch.num_columns)] + [pa.array(bucket)]
+            yield pa.RecordBatch.from_arrays(arrays, names=list(batch.schema.names) + ["bucket"])
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields) + ", bucket bigint"
+    return df.mapInArrow(assign, schema=schema)
+
+
+def topk_cosine_lsh(
+    indexed: DataFrame,
+    queries: np.ndarray,
+    dim: int,
+    k: int = 10,
+    h: int = 8,
+    probes: int = 9,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple]]:
+    """Approximate top-k: scan only the query's bucket + (probes−1) 1-bit
+    neighbor buckets (multi-probe).  probes = h+1 covers all 1-bit flips."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    planes = _hyperplanes(dim, h, seed)
+    bits = (q @ planes) > 0
+    base = np.zeros(len(q), dtype=np.int64)
+    for j in range(h):
+        base |= bits[:, j].astype(np.int64) << j
+    buckets = set()
+    for b in base.tolist():
+        buckets.add(b)
+        for j in range(min(probes - 1, h)):
+            buckets.add(b ^ (1 << j))
+    pruned = indexed.filter(F.col("bucket").isin(list(buckets)))
+    return topk_cosine(pruned, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (k-means coarse quantizer)
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame, dim: int, nlist: int = 16, sample: int = 10_000, iters: int = 10,
+    seed: int = 42, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd k-means on a driver-side sample → (nlist, dim) float32 centroids."""
+    rows = df.select(vec_col).limit(sample).collect()
+    m = _normalize(np.array([r[0] for r in rows], dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_index(df: DataFrame, centroids: np.ndarray, dim: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Append ``list_id`` = nearest centroid. Partition the stored table by it."""
+    cent = centroids.astype(np.float32)
+
+    def assign(batches) -> Iterator:
+        import pyarrow as pa
+
+        for batch in batches:
+            m = _normalize(_matrix(batch.column(batch.schema.get_field_index(vec_col)), dim))
+            lid = (m @ cent.T).argmax(axis=1).astype(np.int32)
+            arrays = [batch.column(i) for i in range(batch.num_columns)] + [pa.array(lid)]
+            yield pa.RecordBatch.from_arrays(arrays, names=list(batch.schema.names) + ["list_id"])
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields) + ", list_id int"
+    return df.mapInArrow(assign, schema=schema)
+
+
+def topk_cosine_ivf(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    dim: int,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple]]:
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    near = np.argsort(-(q @ centroids.astype(np.float32).T), axis=1)[:, :nprobe]
+    lists = sorted({int(c) for row in near for c in row})
+    pruned = indexed.filter(F.col("list_id").isin(lists))
+    return topk_cosine(pruned, queries, k=k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,286 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Spark-first split of work:
+- candidate *generation* (the O(N²) hazard) is always bucketed: LSH band
+  buckets (MinHash) or pigeonhole chunks (SimHash), expressed as ordinary
+  groupBy/join so Catalyst/AQE handle skew and shuffle;
+- per-document *signatures* are Arrow-vectorized numpy kernels (mapInArrow):
+  char-n-gram rolling hashes + one-permutation MinHash (Li, Owen & Zhang
+  2012) so signature cost is O(total bytes), not O(bytes × k);
+- *verification* of candidate pairs stays JVM-side: signature agreement via
+  zip_with/filter, SimHash hamming via bit_count(xor).
+
+Exact dedup is plain Spark: fingerprint → row_number → filter (dropDuplicates
+semantics but deterministic keep-smallest-id).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core.hash import murmur64_u64
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
+    """Keep one row (smallest id) per exact (normalized) text. JVM-only."""
+    from .text import exact_fingerprint
+
+    fp = exact_fingerprint(text_col) if normalize else F.xxhash64(F.col(text_col))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (one-permutation hashing over char n-grams)
+# ---------------------------------------------------------------------------
+
+
+def _remix(z: np.ndarray) -> np.ndarray:
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _char_ngram_hashes(flat: np.ndarray, offsets: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling polynomial hash of every char n-gram; returns (hashes, doc_id
+    per hash).  O(total bytes), fully vectorized."""
+    lens = offsets[1:] - offsets[:-1]
+    counts = np.maximum(lens - n + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    doc_of = np.repeat(np.arange(len(lens)), counts)
+    # window start positions in flat
+    first = np.repeat(offsets[:-1], counts)
+    within = np.arange(total) - np.repeat(np.cumsum(np.concatenate([[0], counts[:-1]])), counts)
+    starts = first + within
+    base = np.uint64(1099511628211)
+    h = np.zeros(total, dtype=np.uint64)
+    for j in range(n):  # n small (8-16): n gathers over flat
+        h = h * base + flat[starts + j].astype(np.uint64)
+    return _remix(h), doc_of
+
+
+def _oph_signature(h: np.ndarray, doc_of: np.ndarray, ndocs: int, k: int) -> np.ndarray:
+    """One-permutation MinHash: k = 2^j buckets of the hash space, min per
+    (doc, bucket); empty buckets filled by *rotation densification*
+    (Shrivastava & Li 2014): copy the nearest non-empty bucket to the left,
+    circularly.  Fills depend only on the doc's bucket contents, so identical
+    sets densify identically and disjoint sets stay uncorrelated — a naive
+    global-min fill would fabricate similarity between any two docs sharing
+    their minimum shingle."""
+    logk = int(np.log2(k))
+    assert (1 << logk) == k, "k must be a power of two"
+    sig = np.full(ndocs * k, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    if len(h):
+        bucket = (h >> np.uint64(64 - logk)).astype(np.int64)
+        np.minimum.at(sig, doc_of * k + bucket, h)
+    sig = sig.reshape(ndocs, k)
+    empty = sig == np.uint64(0xFFFFFFFFFFFFFFFF)
+    if empty.any():
+        colidx = np.arange(k, dtype=np.int64)
+        idxmat = np.where(~empty, colidx[None, :], np.int64(-1))
+        # circular forward fill: nearest non-empty column index at or left of j
+        ff = np.maximum.accumulate(np.concatenate([idxmat, idxmat], axis=1), axis=1)[:, k:]
+        rowi = np.arange(ndocs)[:, None]
+        filled = sig[rowi, np.where(ff >= 0, ff, 0)]
+        # remix with the slot index so a run of copies doesn't make adjacent
+        # slots trivially identical across docs with different emptiness
+        filled = _remix(filled ^ (np.uint64(0x9E3779B97F4A7C15) * (colidx[None, :].astype(np.uint64) + np.uint64(1))))
+        sig = np.where(empty & (ff >= 0), filled, sig)
+    return sig
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 128, ngram: int = 12
+) -> DataFrame:
+    """DataFrame[id, sig array<bigint>] — one MinHash signature per document."""
+
+    def gen(batches) -> Iterator:
+        import pyarrow as pa
+
+        from ..core.hash import arrow_string_buffers
+
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            flat, offsets = arrow_string_buffers(texts.fill_null(""))
+            h, doc_of = _char_ngram_hashes(flat, offsets.astype(np.int64), ngram)
+            sig = _oph_signature(h, doc_of, batch.num_rows, k).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.FixedSizeListArray.from_arrays(pa.array(sig.ravel()), k).cast(pa.list_(pa.int64()))],
+                names=[id_col, "sig"],
+            )
+
+    id_field = df.schema[id_col]
+    return df.select(id_col, text_col).mapInArrow(
+        gen, schema=f"{id_col} {id_field.dataType.simpleString()}, sig array<bigint>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding → candidate pairs → signature verification
+# ---------------------------------------------------------------------------
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id", bands: int = 16) -> DataFrame:
+    """Band the signature, bucket-join: pairs sharing any band bucket.
+
+    With k slots and b bands (r = k/b rows per band), a pair with signature
+    agreement s collides with probability 1-(1-s^r)^b — the standard LSH
+    S-curve.  Entirely JVM-side (xxhash64 over array slices, groupBy,
+    size-bounded pair explosion)."""
+    k = None  # derived lazily from bands expression
+    sig = F.col("sig")
+    band_structs = []
+    # r is computed from the actual array size at runtime
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.xxhash64(F.slice(sig, j * (F.size(sig) / bands).cast("int") + 1, (F.size(sig) / bands).cast("int"))).alias(
+                "bh"
+            ),
+        )
+        for j in range(bands)
+    ]
+    exploded = sig_df.select(id_col, F.explode(F.array(*band_structs)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= 1000))  # guard degenerate buckets
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b_"))
+        .filter(F.col("a") < F.col("b_"))
+        .distinct()
+    )
+    return pairs.withColumnRenamed("b_", "b")
+
+
+def verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 128,
+    ngram: int = 12,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with estimated Jaccard ≥ threshold.
+
+    Returns DataFrame[a, b, est_jaccard].  Verification = fraction of equal
+    signature slots, computed JVM-side with zip_with."""
+    # docs shorter than one shingle have no signature content — an all-empty
+    # pair would otherwise report J=1.0 (e.g. NULL text vs empty string)
+    df = df.filter(F.length(F.coalesce(F.col(text_col), F.lit(""))) >= ngram)
+    sig_df = minhash_signatures(df, id_col, text_col, k=k, ngram=ngram).cache()
+    cand = lsh_candidate_pairs(sig_df, id_col, bands=bands)
+    sa = sig_df.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sig_df.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    joined = cand.join(sa, "a").join(sb, "b")
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = (agree / F.size("sig_a")).alias("est_jaccard")
+    return joined.select("a", "b", est).filter(F.col("est_jaccard") >= threshold)
+
+
+def dedup_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_iter: int = 10,
+    **kw,
+) -> DataFrame:
+    """Remove near-duplicates: connected components over verified pairs via
+    iterative min-label propagation (each round one join; converges in
+    O(log component-diameter) rounds), keep the component's min id."""
+    pairs = verified_pairs(df, id_col, text_col, threshold=threshold, **kw).select("a", "b").cache()
+    # label[x] = min id reachable; init label = min(neighbor ids, self)
+    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = edges.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("lbl"))
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("a", "b").withColumnRenamed("lbl", "nl"), "b")
+            .groupBy("a")
+            .agg(F.min("nl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(prop, "a", "left")
+            .select("a", F.least("lbl", F.coalesce("nl", "lbl")).alias("lbl"))
+        )
+        changed = new_labels.alias("n").join(labels.alias("o"), "a").filter(F.col("n.lbl") != F.col("o.lbl")).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    drop = labels.filter(F.col("a") != F.col("lbl")).select(F.col("a").alias(id_col))
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 8
+) -> DataFrame:
+    """DataFrame[id, simhash bigint]: 64-bit SimHash (Charikar 2002) over
+    char-n-gram hashes — vectorized bit-vote accumulation."""
+
+    def gen(batches) -> Iterator:
+        import pyarrow as pa
+
+        from ..core.hash import arrow_string_buffers
+
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            flat, offsets = arrow_string_buffers(texts.fill_null(""))
+            h, doc_of = _char_ngram_hashes(flat, offsets.astype(np.int64), ngram)
+            votes = np.zeros((batch.num_rows, 64), dtype=np.int64)
+            if len(h):
+                for bit in range(64):
+                    contrib = (((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) << 1) - 1
+                    np.add.at(votes[:, bit], doc_of, contrib)
+            bits = (votes > 0).astype(np.uint64)
+            fp = np.zeros(batch.num_rows, dtype=np.uint64)
+            for bit in range(64):
+                fp |= bits[:, bit] << np.uint64(bit)
+            yield pa.RecordBatch.from_arrays([ids, pa.array(fp.view(np.int64))], names=[id_col, "simhash"])
+
+    id_field = df.schema[id_col]
+    return df.select(id_col, text_col).mapInArrow(
+        gen, schema=f"{id_col} {id_field.dataType.simpleString()}, simhash bigint"
+    )
+
+
+def simhash_near_pairs(sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole banding:
+    split 64 bits into max_hamming+1 chunks — any close pair matches exactly
+    on ≥1 chunk.  Verification = bit_count(xor), JVM-side."""
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    sh = F.col("simhash")
+    chunks = [
+        F.struct(F.lit(j).alias("chunk"), F.shiftrightunsigned(sh, j * width).bitwiseAND(F.lit((1 << width) - 1)).alias("ch"))
+        for j in range(nchunks)
+    ]
+    exploded = sim_df.select(id_col, "simhash", F.explode(F.array(*chunks)).alias("c")).select(
+        id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ch").alias("ch")
+    )
+    a = exploded.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "chunk", "ch")
+    b = exploded.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "chunk", "ch")
+    cand = a.join(b, ["chunk", "ch"]).filter(F.col("a") < F.col("b"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+    return cand.select("a", "b", ham).filter(F.col("hamming") <= max_hamming).distinct()

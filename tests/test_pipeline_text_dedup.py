@@ -1,0 +1,141 @@
+"""Text-analysis and deduplication pipeline tests (documents table + spiked
+near-duplicates with known ground truth)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hllspark.pipeline import dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf01_dir):
+    return spark.read.parquet(f"{sf01_dir}/documents.parquet").cache()
+
+
+# ------------------------------------------------------------------ text
+
+
+def test_token_count_matches_python(spark, docs):
+    rows = docs.select("text", text.token_count("text").alias("tc")).collect()
+    for r in rows[:100]:
+        assert r["tc"] == len(r["text"].split())
+
+
+def test_quality_features(spark, docs):
+    q = text.quality_features(docs).select("q_chars", "q_tokens", "q_score", "q_stopword_ratio").collect()
+    assert all(0.0 <= r["q_score"] <= 1.0 for r in q)
+    assert all(r["q_chars"] > 0 and r["q_tokens"] > 0 for r in q)
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello, world! x2",), ("",)], "t string")
+    got = [r[0] for r in df.select(text.bpe_ish_token_count("t")).collect()]
+    # hello | , | world | ! | x | 2  → 6 pieces; empty → 0
+    assert got == [6, 0]
+
+
+def test_lang_id_on_real_samples(spark):
+    samples = [
+        (1, "The weather is nice today and the children are playing in the park.", "en"),
+        (2, "El tiempo es agradable hoy y los niños juegan en el parque.", "es"),
+        (3, "Das Wetter ist heute schön und die Kinder spielen im Park.", "de"),
+        (4, "Le temps est agréable aujourd'hui et les enfants jouent dans le parc.", "fr"),
+        (5, "Погода сегодня хорошая и дети играют в парке.", "ru"),
+        (6, "今天天气很好孩子们在公园里玩耍非常开心。", "zh"),
+        (7, "今日は天気がよくて子供たちは公園で遊んでいます。", "ja"),
+    ]
+    df = spark.createDataFrame(samples, "id int, t string, expected string")
+    got = df.select("expected", text.lang_id(F.col("t")).alias("pred")).collect()
+    acc = sum(1 for r in got if r["pred"] == r["expected"]) / len(got)
+    assert acc == 1.0, [(r["expected"], r["pred"]) for r in got]
+
+
+def test_exact_fingerprint_normalization(spark):
+    df = spark.createDataFrame([(1, "Hello   World"), (2, "hello world"), (3, "other")], "id int, t string")
+    fps = [r[0] for r in df.select(text.exact_fingerprint("t")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_rolling_fingerprints_deterministic():
+    a = text.rolling_fingerprints("the quick brown fox jumps over the lazy dog")
+    b = text.rolling_fingerprints("the quick brown fox jumps over the lazy dog")
+    c = text.rolling_fingerprints("a completely different document body here")
+    assert a == b != c and len(a) <= 4
+
+
+# ------------------------------------------------------------------ dedup
+
+
+@pytest.fixture(scope="module")
+def spiked(spark, docs):
+    """documents + 40 near-duplicates (one word appended) + 20 exact dups."""
+    near = (
+        docs.orderBy("doc_id")
+        .limit(40)
+        .withColumn("doc_id", F.col("doc_id") + 100_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    exact = docs.orderBy("doc_id").limit(20).withColumn("doc_id", F.col("doc_id") + 200_000)
+    return docs.unionByName(near).unionByName(exact).cache()
+
+
+def test_exact_dedup(spark, spiked, docs):
+    n_docs = docs.count()
+    kept = dedup.exact_dedup(spiked, "text", "doc_id")
+    # 20 exact dups removed; 40 near-dups kept (different text)
+    assert kept.count() == n_docs + 40
+    # keeps the SMALLEST id of each dup group
+    assert kept.filter(F.col("doc_id") >= 200_000).count() == 0
+
+
+def _exact_jaccard(ta: str, tb: str, n: int = 12) -> float:
+    ga = {ta[i : i + n] for i in range(len(ta) - n + 1)}
+    gb = {tb[i : i + n] for i in range(len(tb) - n + 1)}
+    inter = len(ga & gb)
+    return inter / (len(ga) + len(gb) - inter) if inter else 0.0
+
+
+def test_minhash_lsh_finds_spiked_near_dups(spark, spiked):
+    pairs = dedup.verified_pairs(spiked, "doc_id", "text", k=128, bands=32, threshold=0.6)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # every spiked near-dup pair (i, i+100000) must be found
+    expected = {(i, i + 100_000) for i in range(40)}
+    found = expected & got
+    assert len(found) >= 38, f"recall {len(found)}/40"  # ≥95% recall
+    # exact dups are trivially found too
+    assert all((i, i + 200_000) in got for i in range(20))
+    # precision: every reported ORIGINAL-doc pair must be a true near-dup
+    # (the documents fixture deliberately contains ~25 built-in J≥0.92 pairs)
+    texts = {r["doc_id"]: r["text"] for r in spiked.filter(F.col("doc_id") < 100_000).collect()}
+    for a, b in got:
+        if a < 100_000 and b < 100_000:
+            assert _exact_jaccard(texts[a], texts[b]) >= 0.5, (a, b)
+
+
+def test_dedup_near_removes_components(spark, spiked, docs):
+    kept = dedup.dedup_near(spiked, "doc_id", "text", threshold=0.6, k=128, bands=32)
+    # all 20 exact dups and ≥38/40 spiked near dups removed; the ~25
+    # built-in near-dup pairs in documents also collapse (one doc per pair)
+    n_orig = docs.count()
+    kept_orig = kept.filter(F.col("doc_id") < 100_000).count()
+    assert n_orig - 30 <= kept_orig <= n_orig
+    assert kept.filter(F.col("doc_id") >= 200_000).count() == 0  # exact dups gone
+    assert kept.filter((F.col("doc_id") >= 100_000) & (F.col("doc_id") < 200_000)).count() <= 2
+
+
+def test_simhash_near_pairs(spark, spiked):
+    sim = dedup.simhash_signatures(spiked, "doc_id", "text")
+    pairs = dedup.simhash_near_pairs(sim, "doc_id", max_hamming=3)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # exact dups have hamming 0
+    assert all((i, i + 200_000) in got for i in range(20))
+    # near dups: simhash@hamming≤3 is intentionally stricter than
+    # minhash@J≥0.6 — short docs move >3 bits when 5 chars are appended,
+    # so expect partial recall here (minhash is the high-recall detector)
+    near_found = sum(1 for i in range(40) if (i, i + 100_000) in got)
+    assert near_found >= 20, near_found
+    # original-pair reports must be true near-dups (built-in J≥0.92 pairs)
+    texts = {r["doc_id"]: r["text"] for r in spiked.filter(F.col("doc_id") < 100_000).collect()}
+    for a, b in got:
+        if a < 100_000 and b < 100_000:
+            assert _exact_jaccard(texts[a], texts[b]) >= 0.5, (a, b)
