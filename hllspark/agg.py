@@ -236,12 +236,14 @@ def build_partials(
     df: DataFrame,
     value_col: str,
     by: Sequence[str] | None = None,
-    b: int = DEFAULT_B,
-    binbits: int = DEFAULT_BINBITS,
+    b: int | None = None,
+    binbits: int | None = None,
     input_type: str = "auto",
     lineage: bool = True,
     jvm_prehash="auto",
     factory=None,
+    error_rate: float | None = None,
+    ndistinct: float | None = None,
 ) -> DataFrame:
     """Phase 1 only: one partial sketch per (partition, group) with lineage.
 
@@ -249,6 +251,9 @@ def build_partials(
     (hllspark.io) — the stored-counter workflow of README.md:135-166.
     ``factory`` switches the state type to any Sketch-protocol object.
     """
+    from .functions import resolve_params
+
+    b, binbits = resolve_params(b, binbits, error_rate, ndistinct)
     by = list(by or [])
     hash_kind = 0
     if input_type == "auto" and factory is None:
@@ -372,16 +377,22 @@ def sketch(
     df: DataFrame,
     value_col: str,
     by: Sequence[str] | None = None,
-    b: int = DEFAULT_B,
-    binbits: int = DEFAULT_BINBITS,
+    b: int | None = None,
+    binbits: int | None = None,
     input_type: str = "auto",
     fanin: int = 64,
     merge_rounds: int | None = None,
     jvm_prehash="auto",
+    error_rate: float | None = None,
+    ndistinct: float | None = None,
 ) -> DataFrame:
     """groupBy(by).hyperloglog_accum(value_col): full two-phase pipeline →
-    DataFrame[by..., sketch binary]."""
-    partials = build_partials(df, value_col, by, b, binbits, input_type, lineage=False, jvm_prehash=jvm_prehash)
+    DataFrame[by..., sketch binary].  Precision via b/binbits or the
+    reference-style (error_rate, ndistinct) derivation."""
+    partials = build_partials(
+        df, value_col, by, b, binbits, input_type, lineage=False, jvm_prehash=jvm_prehash,
+        error_rate=error_rate, ndistinct=ndistinct,
+    )
     return merge_partials(partials, by, fanin=fanin, merge_rounds=merge_rounds)
 
 
@@ -389,8 +400,8 @@ def distinct(
     df: DataFrame,
     value_col: str,
     by: Sequence[str] | None = None,
-    b: int = DEFAULT_B,
-    binbits: int = DEFAULT_BINBITS,
+    b: int | None = None,
+    binbits: int | None = None,
     input_type: str = "auto",
     bigint: bool = False,
     est_col: str = "est",
@@ -404,6 +415,9 @@ def distinct(
     global sketches on ≤256-way clusters; pass True for grouped queries whose
     key cardinality is known to be small (e.g. per-lang).
     """
+    from .functions import resolve_params
+
+    b, binbits = resolve_params(b, binbits)
     by = list(by or [])
     spark = df.sparkSession
     if driver_merge == "auto":

@@ -174,12 +174,39 @@ def hll_info(sketch: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 
 
-def make_sketch_agg(b: int = DEFAULT_B, binbits: int = DEFAULT_BINBITS, input_type: str = "auto"):
+def resolve_params(
+    b: int | None = None,
+    binbits: int | None = None,
+    error_rate: float | None = None,
+    ndistinct: float | None = None,
+) -> tuple[int, int]:
+    """hyperloglog_accum(col[, error_rate[, ndistinct]]) parameterization
+    (postgres.sql:219-245): explicit b/binbits win; else derive from the
+    requested error rate / cardinality cap exactly like hll_create."""
+    from .core.hll import DEFAULT_ERROR, DEFAULT_NDISTINCT, params_from_error
+
+    if error_rate is not None or ndistinct is not None:
+        db, dbin = params_from_error(
+            DEFAULT_ERROR if error_rate is None else error_rate,
+            DEFAULT_NDISTINCT if ndistinct is None else ndistinct,
+        )
+        return (db if b is None else b, dbin if binbits is None else binbits)
+    return (DEFAULT_B if b is None else b, DEFAULT_BINBITS if binbits is None else binbits)
+
+
+def make_sketch_agg(
+    b: int | None = None,
+    binbits: int | None = None,
+    input_type: str = "auto",
+    error_rate: float | None = None,
+    ndistinct: float | None = None,
+):
     """Factory for hyperloglog_accum-style GROUPED_AGG at a chosen precision."""
+    rb, rbin = resolve_params(b, binbits, error_rate, ndistinct)
 
     @pandas_udf(BinaryType())
     def _sketch_agg(v: pd.Series) -> bytes:
-        return build_sketch(v, b=b, binbits=binbits, input_type=input_type).to_bytes()
+        return build_sketch(v, b=rb, binbits=rbin, input_type=input_type).to_bytes()
 
     return _sketch_agg
 
@@ -199,8 +226,122 @@ def hll_merge_agg(sketches: pd.Series) -> bytes:
     return None if acc is None else acc.to_bytes()
 
 
+# ---------------------------------------------------------------------------
+# sibling-sketch SQL surface: GROUPED_AGG builders + scalar query functions
+# ---------------------------------------------------------------------------
+
+
+def make_generic_sketch_agg(factory, value_based: bool = False, input_type: str = "auto"):
+    """GROUPED_AGG UDAF for any Sketch-protocol class.
+
+    ``value_based``: t-digest/KLL consume raw numeric values; the hash-based
+    sketches (count-min, bloom, minhash) consume hash_series output."""
+
+    @pandas_udf(BinaryType())
+    def _agg(v: pd.Series) -> bytes:
+        sk = factory()
+        vv = v.dropna()
+        if len(vv):
+            if value_based:
+                sk.update_values(vv.to_numpy(dtype="float64"))
+            else:
+                sk.add_hashes(hash_series(vv, input_type))
+        return sk.to_bytes()
+
+    return _agg
+
+
+def make_generic_merge_agg(cls):
+    @pandas_udf(BinaryType())
+    def _merge(sketches: pd.Series) -> bytes:
+        acc = None
+        for v in sketches:
+            if v is None:
+                continue
+            s = cls.from_bytes(bytes(v))
+            acc = s if acc is None else acc.merge(s)
+        return None if acc is None else acc.to_bytes()
+
+    return _merge
+
+
+@pandas_udf(LongType())
+def cm_query(sketch: pd.Series, value: pd.Series) -> pd.Series:
+    """count-min frequency estimate of value (string canonicalization)."""
+    from .core.hash import hash_strings
+    from .sketches import CountMin
+
+    out = []
+    for blob, v in zip(sketch, value):
+        if blob is None or v is None:
+            out.append(None)
+            continue
+        cm = CountMin.from_bytes(bytes(blob))
+        out.append(int(cm.query_hashes(hash_strings(pd.Series([str(v)])))[0]))
+    return pd.Series(out, dtype="Int64").astype("int64", errors="ignore")
+
+
+@pandas_udf(BooleanType())
+def bloom_contains(sketch: pd.Series, value: pd.Series) -> pd.Series:
+    from .core.hash import hash_strings
+    from .sketches import Bloom
+
+    out = []
+    for blob, v in zip(sketch, value):
+        if blob is None or v is None:
+            out.append(None)
+            continue
+        bf = Bloom.from_bytes(bytes(blob))
+        out.append(bool(bf.contains_hashes(hash_strings(pd.Series([str(v)])))[0]))
+    return pd.Series(out, dtype="boolean")
+
+
+@pandas_udf(DoubleType())
+def tdigest_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:
+    from .sketches import TDigest
+
+    return pd.Series(
+        [None if b is None else TDigest.from_bytes(bytes(b)).quantile(float(qq)) for b, qq in zip(sketch, q)],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def tdigest_rank(sketch: pd.Series, x: pd.Series) -> pd.Series:
+    from .sketches import TDigest
+
+    return pd.Series(
+        [None if b is None else TDigest.from_bytes(bytes(b)).rank(float(v)) for b, v in zip(sketch, x)],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def kll_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:
+    from .sketches import KLL
+
+    return pd.Series(
+        [None if b is None else KLL.from_bytes(bytes(b)).quantile(float(qq)) for b, qq in zip(sketch, q)],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def minhash_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+    from .sketches import MinHash
+
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+        else:
+            out.append(MinHash.from_bytes(bytes(x)).jaccard(MinHash.from_bytes(bytes(y))))
+    return pd.Series(out, dtype="float64")
+
+
 def register_sql(spark, b: int = DEFAULT_B, binbits: int = DEFAULT_BINBITS) -> None:
     """Register the surface for use from spark.sql(...)."""
+    from .sketches import KLL, Bloom, CountMin, MinHash, TDigest
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("hll_estimate_bigint", hll_estimate_bigint)
     spark.udf.register("hll_union", hll_union)
@@ -214,3 +355,20 @@ def register_sql(spark, b: int = DEFAULT_B, binbits: int = DEFAULT_BINBITS) -> N
     spark.udf.register("hll_sketch_agg", make_sketch_agg(b, binbits))
     spark.udf.register("hll_sketch_agg_int32", make_sketch_agg(b, binbits, input_type="int32"))
     spark.udf.register("hll_merge_agg", hll_merge_agg)
+    # sibling sketches
+    spark.udf.register("cm_sketch_agg", make_generic_sketch_agg(lambda: CountMin.create(width=4096, depth=5)))
+    spark.udf.register("cm_merge_agg", make_generic_merge_agg(CountMin))
+    spark.udf.register("cm_query", cm_query)
+    spark.udf.register("bloom_sketch_agg", make_generic_sketch_agg(lambda: Bloom.create(m_bits=1 << 20, k=7)))
+    spark.udf.register("bloom_merge_agg", make_generic_merge_agg(Bloom))
+    spark.udf.register("bloom_contains", bloom_contains)
+    spark.udf.register("tdigest_agg", make_generic_sketch_agg(lambda: TDigest.create(delta=100), value_based=True))
+    spark.udf.register("tdigest_merge_agg", make_generic_merge_agg(TDigest))
+    spark.udf.register("tdigest_quantile", tdigest_quantile)
+    spark.udf.register("tdigest_rank", tdigest_rank)
+    spark.udf.register("kll_agg", make_generic_sketch_agg(lambda: KLL.create(k=200), value_based=True))
+    spark.udf.register("kll_merge_agg", make_generic_merge_agg(KLL))
+    spark.udf.register("kll_quantile", kll_quantile)
+    spark.udf.register("minhash_agg", make_generic_sketch_agg(lambda: MinHash.create(k=256)))
+    spark.udf.register("minhash_merge_agg", make_generic_merge_agg(MinHash))
+    spark.udf.register("minhash_jaccard", minhash_jaccard)

@@ -1,0 +1,89 @@
+"""SQL-registered surface for the sibling sketches + parameterized HLL:
+the full sketch workflow expressed purely in spark.sql()."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hllspark.functions import make_sketch_agg, register_sql, resolve_params
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark, sf01_dir):
+    register_sql(spark)
+    spark.read.parquet(f"{sf01_dir}/lineitem.parquet").createOrReplaceTempView("li_sql")
+    spark.read.parquet(f"{sf01_dir}/events.parquet").createOrReplaceTempView("ev_sql")
+
+
+def test_resolve_params_matches_reference_derivation():
+    assert resolve_params() == (14, 6)
+    assert resolve_params(error_rate=0.008125) == (14, 6)
+    assert resolve_params(error_rate=0.05) == (9, 6)  # 1.0816/0.0025 = 432.6 → ceil(log2) = 9
+    assert resolve_params(b=8, binbits=5) == (8, 5)
+
+
+def test_error_rate_accuracy(spark):
+    # coarser precision → looser but honored bound
+    agg_udf = make_sketch_agg(error_rate=0.05)
+    df = spark.range(1, 20001).select(F.col("id").alias("v"))
+    blob = df.agg(agg_udf("v").alias("s")).first()["s"]
+    from hllspark.core.hll import HLL
+
+    h = HLL.from_bytes(bytes(blob))
+    b = h.b
+    est = h.estimate()
+    assert abs(est - 20000) / 20000 < 3 * 1.04 / math.sqrt(2**b)
+
+
+def test_sql_tdigest_workflow(spark):
+    row = spark.sql(
+        """
+        WITH g AS (
+          SELECT l_returnflag, tdigest_agg(l_extendedprice) AS td
+          FROM li_sql GROUP BY l_returnflag
+        )
+        SELECT tdigest_quantile(tdigest_merge_agg(td), 0.5) AS med,
+               tdigest_rank(tdigest_merge_agg(td), 50000.0) AS r50k
+        FROM g
+        """
+    ).first()
+    exact_med = spark.sql("SELECT percentile(l_extendedprice, 0.5) FROM li_sql").first()[0]
+    assert abs(row["med"] - exact_med) / exact_med < 0.05
+    exact_rank = float(
+        spark.sql(
+            "SELECT avg(CASE WHEN l_extendedprice <= 50000 THEN 1.0 ELSE 0.0 END) FROM li_sql"
+        ).first()[0]
+    )
+    assert abs(row["r50k"] - exact_rank) < 0.02
+
+
+def test_sql_countmin_and_bloom(spark):
+    row = spark.sql(
+        """
+        WITH s AS (SELECT cm_sketch_agg(event_type) AS cm, bloom_sketch_agg(event_type) AS bf FROM ev_sql)
+        SELECT cm_query(cm, 'click') AS clicks,
+               bloom_contains(bf, 'click') AS has_click,
+               bloom_contains(bf, 'nonexistent_event_xyz') AS has_fake
+        FROM s
+        """
+    ).first()
+    exact = spark.sql("SELECT count(*) FROM ev_sql WHERE event_type = 'click'").first()[0]
+    assert exact <= row["clicks"] <= exact + 150  # 3εN at N≈10k, w=4096
+    assert row["has_click"] is True
+    assert row["has_fake"] is False
+
+
+def test_sql_kll_and_minhash(spark):
+    row = spark.sql(
+        """
+        WITH a AS (SELECT minhash_agg(l_partkey) AS mh FROM li_sql WHERE l_returnflag = 'A'),
+             r AS (SELECT minhash_agg(l_partkey) AS mh FROM li_sql WHERE l_returnflag = 'R'),
+             k AS (SELECT kll_agg(l_quantity) AS kq FROM li_sql)
+        SELECT minhash_jaccard(a.mh, r.mh) AS j, kll_quantile(k.kq, 0.5) AS med
+        FROM a, r, k
+        """
+    ).first()
+    assert 0.0 <= row["j"] <= 1.0
+    exact_med = spark.sql("SELECT percentile(l_quantity, 0.5) FROM li_sql").first()[0]
+    assert abs(row["med"] - exact_med) <= 2
