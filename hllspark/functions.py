@@ -267,33 +267,34 @@ def make_generic_merge_agg(cls):
 
 @pandas_udf(LongType())
 def cm_query(sketch: pd.Series, value: pd.Series) -> pd.Series:
-    """count-min frequency estimate of value (string canonicalization)."""
-    from .core.hash import hash_strings
+    """count-min frequency estimate.  The probe value is canonicalized by its
+    OWN SQL type (anyelement semantics, hyperloglog_counter.c:536-547): probe
+    an int64-built sketch with a long, a string-built one with a string."""
     from .sketches import CountMin
 
-    out = []
-    for blob, v in zip(sketch, value):
-        if blob is None or v is None:
-            out.append(None)
-            continue
-        cm = CountMin.from_bytes(bytes(blob))
-        out.append(int(cm.query_hashes(hash_strings(pd.Series([str(v)])))[0]))
-    return pd.Series(out, dtype="Int64").astype("int64", errors="ignore")
+    mask = sketch.notna() & value.notna()
+    out = pd.Series([None] * len(sketch), dtype="object")
+    if mask.any():
+        hashes = hash_series(value[mask], "auto")
+        for (i, blob), h in zip(sketch[mask].items(), hashes):
+            cm = CountMin.from_bytes(bytes(blob))
+            out[i] = int(cm.query_hashes(h.reshape(1))[0])
+    return out.astype("Int64")
 
 
 @pandas_udf(BooleanType())
 def bloom_contains(sketch: pd.Series, value: pd.Series) -> pd.Series:
-    from .core.hash import hash_strings
+    """Membership probe, canonicalized by the probe value's own SQL type."""
     from .sketches import Bloom
 
-    out = []
-    for blob, v in zip(sketch, value):
-        if blob is None or v is None:
-            out.append(None)
-            continue
-        bf = Bloom.from_bytes(bytes(blob))
-        out.append(bool(bf.contains_hashes(hash_strings(pd.Series([str(v)])))[0]))
-    return pd.Series(out, dtype="boolean")
+    mask = sketch.notna() & value.notna()
+    out = pd.Series([None] * len(sketch), dtype="object")
+    if mask.any():
+        hashes = hash_series(value[mask], "auto")
+        for (i, blob), h in zip(sketch[mask].items(), hashes):
+            bf = Bloom.from_bytes(bytes(blob))
+            out[i] = bool(bf.contains_hashes(h.reshape(1))[0])
+    return out.astype("boolean")
 
 
 @pandas_udf(DoubleType())

@@ -74,6 +74,24 @@ def test_sql_countmin_and_bloom(spark):
     assert row["has_fake"] is False
 
 
+def test_typed_probes_match_build_canonicalization(spark):
+    """Regression: probing an int64-built sketch with a long literal must hit
+    the same hash domain as the build (anyelement semantics)."""
+    row = spark.sql(
+        """
+        WITH s AS (SELECT cm_sketch_agg(l_partkey) cm, bloom_sketch_agg(l_suppkey) bf FROM li_sql)
+        SELECT cm_query(cm, 77L) AS freq77,
+               bloom_contains(bf, 5L) AS has_s5,
+               bloom_contains(bf, 999999999L) AS has_fake,
+               cm_query(cm, CAST(NULL AS LONG)) AS nullq
+        FROM s
+        """
+    ).first()
+    exact = spark.sql("SELECT count(*) FILTER (WHERE l_partkey = 77) FROM li_sql").first()[0]
+    assert exact <= row["freq77"] <= exact + 150
+    assert row["has_s5"] is True and row["has_fake"] is False and row["nullq"] is None
+
+
 def test_sql_kll_and_minhash(spark):
     row = spark.sql(
         """
