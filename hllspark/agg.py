@@ -460,3 +460,17 @@ def sketch_generic(
     """
     partials = build_partials(df, value_col, by, input_type=input_type, lineage=False, factory=factory)
     return merge_partials(partials, by, fanin=fanin, merge_rounds=merge_rounds, cls=cls)
+
+
+def salted_repartition(df: DataFrame, keys: Sequence[str], num_partitions: int, salt_buckets: int = 16) -> DataFrame:
+    """Repartition by (keys..., salt) so one hot key fans out across
+    ``salt_buckets`` partitions (SURVEY.md §4 skew control).
+
+    The sketch pipeline itself doesn't need this — phase 1 collapses rows to
+    per-partition sketches before any shuffle — but raw-row operations that
+    must shuffle by a skewed key (e.g. a groupBy feeding a non-mergeable
+    computation) can pre-salt with this helper; merge associativity (or any
+    reassociable aggregate) makes the two-level collapse correct.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in keys], F.spark_partition_id()), F.lit(salt_buckets))
+    return df.repartition(num_partitions, *[F.col(c) for c in keys], salt)
