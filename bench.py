@@ -225,17 +225,19 @@ def main():
         f"{norm_eff:.3f} normalized to the machine's own STREAM scaling envelope "
         f"({hw_eff:.3f})** — target ≥ 0.8, BASELINE.json north_rule.",
         "",
-        "Hardware envelope: aggregate memory-copy bandwidth on this sandbox VM "
+        "Hardware envelope: aggregate memory-copy (STREAM-like) bandwidth on this "
+        "sandbox VM measures "
         + ", ".join(f"{c} procs → {bw[c]/1e9:.1f} GB/s" for c in levels)
-        + ". A bare numpy memcpy achieves only "
-        f"{hw_eff:.2f} parallel efficiency {lo}→{hi} here — the box saturates "
-        "~9 GB/s DRAM bandwidth total, so every data-movement-bound job inherits "
-        "this curve.  The flagship's raw efficiency matching the STREAM curve "
-        "means the *software* adds no scaling penalty; the N→4N *executor* "
-        "criterion models multi-node scaling where each node contributes its own "
-        "memory bus, which a single VM cannot emulate.  `spark.task.cpus=2` is "
-        "set for Python-stage jobs so JVM task threads and Python workers don't "
-        "oversubscribe cores (without it, task times inflate 3-20× at local[32]).",
+        + f" — i.e. a bare numpy memcpy achieves only {hw_eff:.2f} parallel "
+        f"efficiency {lo}→{hi} (per-proc bandwidth collapses "
+        f"{bw[lo]/lo/1e9:.1f}→{bw[hi]/hi/1e9:.1f} GB/s under contention), so every "
+        "data-movement-bound job inherits this curve.  The flagship's raw "
+        "efficiency tracking the STREAM curve means the *software* adds no "
+        "scaling penalty; the N→4N *executor* criterion models multi-node "
+        "scaling where each node contributes its own memory bus, which a single "
+        "VM cannot emulate.  `spark.task.cpus=2` is set for Python-stage jobs so "
+        "JVM task threads and Python workers don't oversubscribe cores (without "
+        "it, task times inflate 3-20× at local[32]).",
         "",
         "Per-query wall seconds at full parallelism:",
         "",

@@ -53,6 +53,7 @@ DEFAULT_NDISTINCT = float(2**63)
 
 _HEADER = struct.Struct("<BbBBi")  # version, b, binbits, flags, idx
 _FLAG_DENSE = 1
+_FLAG_PACKED = 8  # dense payload is bit-packed at binbits bits/register
 # bits 1-2 of flags: hash kind — sketches hashed differently must never merge
 HASH_MURMUR = 0  # MurmurHash64A seed 0xadc83b19 (reference-parity)
 HASH_XXHASH_SPARK = 1  # Spark JVM xxhash64(seed=42) pre-hashing (scale path)
@@ -244,6 +245,19 @@ def _estimate_dense(regs: np.ndarray, b: int, binbits: int) -> float:
     return E
 
 
+def _pack_registers(regs: np.ndarray, binbits: int) -> bytes:
+    """Bit-pack uint8 registers (< 2^binbits) to binbits bits each, vectorized
+    via unpackbits/packbits (big-endian within the stream, self-consistent)."""
+    bits = np.unpackbits(regs.reshape(-1, 1), axis=1)[:, 8 - binbits :]
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _unpack_registers(packed: np.ndarray, m: int, binbits: int) -> np.ndarray:
+    bits = np.unpackbits(packed, count=m * binbits).reshape(m, binbits)
+    weights = (1 << np.arange(binbits - 1, -1, -1, dtype=np.uint16)).astype(np.uint16)
+    return (bits.astype(np.uint16) @ weights).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # the counter object
 # ---------------------------------------------------------------------------
@@ -408,15 +422,26 @@ class HLL:
 
     # -- serialization ------------------------------------------------------
 
-    def to_bytes(self) -> bytes:
+    def to_bytes(self, packed: bool = True) -> bytes:
+        """Serialize. Dense registers are bit-packed at binbits bits each by
+        default (the reference's PACKED format, hyperloglog.h:66-88): 12296 B
+        vs 16392 B raw at b=14 — a 25% shuffle/storage saving."""
         hk = (self.hash_kind << _HASH_KIND_SHIFT) & _HASH_KIND_MASK
         if self.sparse is not None:
             payload = self.sparse.astype("<u4", copy=False).tobytes()
             return _HEADER.pack(STRUCT_VERSION, self.b, self.binbits, hk, len(self.sparse)) + payload
+        if packed and self.binbits < 8:
+            payload = _pack_registers(self.dense, self.binbits)
+            return _HEADER.pack(STRUCT_VERSION, self.b, self.binbits, _FLAG_DENSE | _FLAG_PACKED | hk, -1) + payload
         return _HEADER.pack(STRUCT_VERSION, self.b, self.binbits, _FLAG_DENSE | hk, -1) + self.dense.tobytes()
 
     def serialized_size(self) -> int:
-        n = len(self.sparse) * 4 if self.sparse is not None else (1 << self.b)
+        if self.sparse is not None:
+            n = len(self.sparse) * 4
+        elif self.binbits < 8:
+            n = ((1 << self.b) * self.binbits + 7) // 8
+        else:
+            n = 1 << self.b
         return _HEADER.size + n
 
     @classmethod
@@ -429,7 +454,12 @@ class HLL:
         payload = data[_HEADER.size :]
         hash_kind = (flags & _HASH_KIND_MASK) >> _HASH_KIND_SHIFT
         if flags & _FLAG_DENSE:
-            regs = np.frombuffer(payload, dtype=np.uint8, count=1 << b).copy()
+            m = 1 << b
+            if flags & _FLAG_PACKED:
+                nbytes = (m * binbits + 7) // 8
+                regs = _unpack_registers(np.frombuffer(payload, dtype=np.uint8, count=nbytes), m, binbits)
+            else:
+                regs = np.frombuffer(payload, dtype=np.uint8, count=m).copy()
             return cls(b, binbits, None, regs, hash_kind)
         enc = np.frombuffer(payload, dtype="<u4", count=idx).astype(np.uint32)
         return cls(b, binbits, enc, None, hash_kind)
