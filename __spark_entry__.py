@@ -26,13 +26,35 @@ BOUND_B14 = 1.04 / math.sqrt(2**14)  # 0.8125%
 MARGIN = 3.0  # σ-multiple on the envelope
 
 
+def _ensure_workers(spark: SparkSession) -> None:
+    """Make hllspark importable on executors even when the driver process
+    wasn't launched from the repo root: ship the --py-files zip."""
+    try:
+        import zipfile
+
+        root = Path(__file__).resolve().parent
+        zip_path = root / "dist" / "hllspark.zip"
+        if not zip_path.exists():
+            zip_path.parent.mkdir(parents=True, exist_ok=True)
+            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+                for p in sorted((root / "hllspark").rglob("*.py")):
+                    z.write(p, p.relative_to(root))
+        if not getattr(spark.sparkContext, "_hllspark_shipped", False):
+            spark.sparkContext.addPyFile(str(zip_path))
+            spark.sparkContext._hllspark_shipped = True
+    except Exception:
+        pass  # already added, or running where cwd suffices
+
+
 def _register(spark: SparkSession) -> None:
     from hllspark.functions import register_sql
 
+    _ensure_workers(spark)
     register_sql(spark)
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _ensure_workers(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -451,6 +473,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the pages oracle reads generated parquet — make sure it exists even if
+    # the oracle happens to run before the corresponding Spark query
+    from hllspark.pipeline.pages import ensure_small
+
+    ensure_small(Path(__file__).resolve().parent)
     pages_glob = str(Path(__file__).resolve().parent / "data" / "pages_small" / "*.parquet")
     return {
         "distinct_orderkey_global": (
