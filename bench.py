@@ -91,6 +91,14 @@ def headline_queries(spark, pages_path: str):
         per_lang = agg.sketch(pages, "url", by=["lang"])
         agg.merge_partials(per_lang.select("sketch")).collect()
 
+    # JVM-native comparators (SURVEY.md §2.7): no persistable/mergeable
+    # custom sketch, no golden parity — but a throughput reference point
+    def q_comparator_approx_count_distinct():
+        pages.agg(F.approx_count_distinct("url", 0.008125)).collect()
+
+    def q_comparator_datasketches_hll():
+        pages.agg(F.expr("hll_sketch_estimate(hll_sketch_agg(url, 14))")).collect()
+
     return {
         "lineitem_distinct_orderkey": q_lineitem_distinct_orderkey,
         "lineitem_distinct_part_by_flag": q_lineitem_distinct_part_by_flag,
@@ -99,6 +107,8 @@ def headline_queries(spark, pages_path: str):
         "pages_distinct_url_by_lang": q_pages_distinct_url_by_lang,
         "pages_distinct_texthash": q_pages_distinct_texthash,
         "reagg_stored_sketches": q_reagg_stored,
+        "comparator_approx_count_distinct": q_comparator_approx_count_distinct,
+        "comparator_datasketches_hll": q_comparator_datasketches_hll,
     }
 
 
@@ -167,7 +177,8 @@ def main():
     agg.distinct(spark.read.parquet(f"{SF_DIR}/nation.parquet"), "n_nationkey").collect()
     timings = {}
     for name, fn in qs.items():
-        timings[name] = round(timed(fn), 3)
+        fn()  # warm (JIT + workers) — this box shows multi-second noise
+        timings[name] = round(timed(fn, reps=2), 3)
     spark.stop()
 
     # ---- two-parallelism scaling (N vs 4N cores, same input) ----
@@ -177,7 +188,13 @@ def main():
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(min(4 * lo, CPUS))))
     levels = sorted({lo, hi, CPUS})
-    rps = {c: scaling_run(c, pages_path, pages_rows) for c in levels}
+    # interleave two rounds per level and keep the best — this VM's effective
+    # CPU/bandwidth swings 2-3x across minutes, which would otherwise skew
+    # the lo/hi ratio in either direction
+    rps = {c: 0.0 for c in levels}
+    for _ in range(2):
+        for c in levels:
+            rps[c] = max(rps[c], scaling_run(c, pages_path, pages_rows))
     efficiency = (rps[hi] / rps[lo]) / (hi / lo)
     # hardware envelope at the same two levels
     bw = {c: stream_bandwidth(c) for c in levels}

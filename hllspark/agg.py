@@ -385,10 +385,20 @@ def sketch(
     jvm_prehash="auto",
     error_rate: float | None = None,
     ndistinct: float | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """groupBy(by).hyperloglog_accum(value_col): full two-phase pipeline →
     DataFrame[by..., sketch binary].  Precision via b/binbits or the
-    reference-style (error_rate, ndistinct) derivation."""
+    reference-style (error_rate, ndistinct) derivation.
+
+    ``engine``: "jvm" keeps the whole reduction in Catalyst (fastest; hashes
+    with xxhash64), "python" uses the mapInArrow builder (required for
+    murmur reference-parity via input_type/jvm_prehash=False).  "auto" picks
+    jvm when nothing pins the hash function to murmur."""
+    if engine == "auto":
+        engine = "jvm" if (input_type == "auto" and jvm_prehash in ("auto", True)) else "python"
+    if engine == "jvm":
+        return sketch_jvm(df, value_col, by, b, binbits, error_rate, ndistinct)
     partials = build_partials(
         df, value_col, by, b, binbits, input_type, lineage=False, jvm_prehash=jvm_prehash,
         error_rate=error_rate, ndistinct=ndistinct,
@@ -407,6 +417,7 @@ def distinct(
     est_col: str = "est",
     jvm_prehash="auto",
     driver_merge: bool | str = "auto",
+    engine: str = "auto",
 ) -> DataFrame:
     """hyperloglog_distinct: sketch then estimate → DataFrame[by..., est].
 
@@ -420,6 +431,12 @@ def distinct(
     b, binbits = resolve_params(b, binbits)
     by = list(by or [])
     spark = df.sparkSession
+    if engine == "auto":
+        engine = "jvm" if (input_type == "auto" and jvm_prehash in ("auto", True)) else "python"
+    if engine == "jvm":
+        sk = sketch_jvm(df, value_col, by, b, binbits)
+        est = hll_estimate_bigint(F.col("sketch")) if bigint else hll_estimate(F.col("sketch"))
+        return sk.select(*by, est.alias(est_col))
     if driver_merge == "auto":
         driver_merge = not by and spark.sparkContext.defaultParallelism <= 256
     if driver_merge:
@@ -474,3 +491,214 @@ def salted_repartition(df: DataFrame, keys: Sequence[str], num_partitions: int, 
     """
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in keys], F.spark_partition_id()), F.lit(salt_buckets))
     return df.repartition(num_partitions, *[F.col(c) for c in keys], salt)
+
+
+# ---------------------------------------------------------------------------
+# JVM-native engine: the register reduction as a Catalyst hash aggregate
+# ---------------------------------------------------------------------------
+
+
+def _bitlen_case(x, maxbits: int):
+    """Exact bit length of a small (< 2^maxbits) non-negative value as a
+    CASE cascade — pure integer comparisons, whole-stage-codegen friendly."""
+    expr = F.lit(0)
+    for k in range(1, maxbits + 1):
+        expr = F.when(x >= (1 << (k - 1)), k).otherwise(expr)
+    return expr
+
+
+def _with_jvm_kernels(df: DataFrame, hcol: str, b: int, binbits: int) -> DataFrame:
+    """Append bit-exact HLL kernel columns (__idx, __rho, __enc, __chain)
+    computed from a 64-bit hash column entirely with integer Catalyst ops:
+
+    - clz of the suffix via a staged shift cascade (exact; no float log, no
+      bin()-string allocation per row)
+    - dense rho recovered losslessly from the p'-prefix structure:
+      if any of bits [b, p') is set, rho = (p'-b) - bitlen(prefix&mask) + 1,
+      else rho = (p'-b) + rho_p (encode_hash decode identity, SURVEY §2.6)
+    - __chain marks the rho-overflow rehash case (all suffix bits zero)
+
+    Validated bit-for-bit against the numpy kernels (tests/test_jvm_engine).
+    """
+    pprime = 32 - 1 - binbits
+    mask = (1 << (pprime - b)) - 1
+    h = F.col(hcol)
+
+    out = df.withColumn("__x", F.shiftleft(h, pprime)).withColumn("__c", F.lit(0))
+    # clz64(__x) cascade: 6 staged halvings, all integer ops
+    for s in (32, 16, 8, 4, 2, 1):
+        top_zero = F.shiftrightunsigned(F.col("__x"), 64 - s) == 0
+        out = out.withColumn(
+            "__c", F.when(top_zero, F.col("__c") + s).otherwise(F.col("__c"))
+        ).withColumn("__x", F.when(top_zero, F.shiftleft(F.col("__x"), s)).otherwise(F.col("__x")))
+
+    idx_p = F.shiftrightunsigned(h, 64 - pprime)
+    prefix_bits = idx_p.bitwiseAND(F.lit(mask))
+    sh_p_zero = F.shiftleft(h, pprime) == 0
+    rho_p = F.when(sh_p_zero, F.lit(64)).otherwise(F.col("__c") + 1)
+    enc = F.when(prefix_bits != 0, idx_p * 2).otherwise((idx_p * (1 << binbits) + rho_p) * 2 + 1)
+    rho = F.when(
+        prefix_bits != 0, F.lit(pprime - b + 1) - _bitlen_case(prefix_bits, pprime - b)
+    ).otherwise(F.lit(pprime - b) + rho_p)
+    return (
+        out.withColumn("__idx", F.shiftrightunsigned(h, 64 - b))
+        .withColumn("__rho", rho)
+        .withColumn("__enc", enc)
+        .withColumn("__chain", sh_p_zero)
+        .drop("__x", "__c")
+    )
+
+
+def _jvm_exprs(h, b: int, binbits: int):
+    """Single-expression variants (bin()-based clz) kept for validation —
+    the production path uses _with_jvm_kernels (integer cascade)."""
+    pprime = 32 - 1 - binbits
+    mask = (1 << (pprime - b)) - 1
+    idx = F.shiftrightunsigned(h, 64 - b)
+    sh_b = F.shiftleft(h, b)
+    rho = F.when(sh_b == 0, F.lit(64)).otherwise(F.lit(65) - F.length(F.bin(sh_b)))
+    idx_p = F.shiftrightunsigned(h, 64 - pprime)
+    sh_p = F.shiftleft(h, pprime)
+    rho_p = F.when(sh_p == 0, F.lit(64)).otherwise(F.lit(65) - F.length(F.bin(sh_p)))
+    enc = F.when(idx_p.bitwiseAND(F.lit(mask)) != 0, idx_p * 2).otherwise(
+        (idx_p * (1 << binbits) + rho_p) * 2 + 1
+    )
+    # rho chain triggers iff every bit after the p' prefix is zero
+    # (hll_add_hash_dense/encode_hash rehash loops, hyperloglog.c:611-620,694-703)
+    chain = sh_p == 0
+    return idx, rho, enc, chain
+
+
+def sketch_jvm(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    b: int | None = None,
+    binbits: int | None = None,
+    error_rate: float | None = None,
+    ndistinct: float | None = None,
+) -> DataFrame:
+    """Two-phase HLL with the ENTIRE hot path in whole-stage-codegen JVM:
+
+      xxhash64(value) → groupBy(key, idx).max(rho)      [Catalyst partial agg:
+                                                          shuffle ≤ P × 2^b rows]
+      keys with ≤capacity nonzero registers → targeted distinct-encode pass
+                                                          (exact sparse content)
+      rho-overflow rows (probability 2^-(63-binbits-b)) → python chain handler
+
+    Python only assembles the final ≤2^b rows per key into canonical sketch
+    bytes — byte-identical to the python engine's jvm_prehash path (tested),
+    so sketches from either engine merge freely.  ~6× faster scans than the
+    mapInArrow path because no per-row bytes ever cross into Python.
+    """
+    from .core.hll import HASH_XXHASH_SPARK, sparse_capacity
+    from .functions import resolve_params
+
+    b, binbits = resolve_params(b, binbits, error_rate, ndistinct)
+    by = list(by or [])
+    spark = df.sparkSession
+    cap = sparse_capacity(b)
+
+    # NULL values keep a NULL hash and flow through the aggregate as a
+    # (key, NULL idx) row — that's how all-NULL groups still surface with an
+    # empty sketch (the reference's NULL contract) without an extra key scan
+    h = F.when(F.col(value_col).isNull(), None).otherwise(F.xxhash64(value_col))
+    hdf_all = _with_jvm_kernels(df.select(*by, h.alias("__h")), "__h", b, binbits)
+
+    # chain rows (probability ~2^-(63-binbits) per row): the C semantics
+    # REPLACE rho with the rehash-chain result (which may be < 64), so these
+    # rows are excluded from the JVM max and replayed through the exact
+    # python kernels at the end.  Captured in the SAME aggregate via a
+    # conditional collect_list — no second scan.
+    hdf = hdf_all.filter(~F.col("__chain"))
+
+    # A1: dense register candidates — the heavy reduction, all JVM
+    regs = (
+        hdf_all.select(
+            *by,
+            "__idx",
+            F.when(~F.col("__chain"), F.col("__rho")).alias("__rho"),
+            F.when(F.col("__chain"), F.col("__h")).alias("__chain_h"),
+        )
+        .groupBy(*by, "__idx")
+        .agg(F.max("__rho").alias("__rho"), F.collect_list("__chain_h").alias("__chains"))
+    )
+    regs_tbl = regs.toArrow()  # columnar fetch — ~100× cheaper than Row collect
+    regs_pdf = regs_tbl.to_pandas()
+    chain_rows = [
+        {**{c: r[c] for c in by}, "__h": hv}
+        for _, r in regs_pdf[regs_pdf["__chains"].map(len) > 0].iterrows()
+        for hv in r["__chains"]
+    ]
+    # register EVERY key (incl. null-only groups whose single row has a
+    # null idx/rho) before dropping the null-rho rows
+    per_key: dict = {}
+    if by:
+        for k in zip(*(regs_pdf[c] for c in by)):
+            per_key.setdefault(k, [])
+    elif len(regs_pdf):
+        per_key[()] = []
+    regs_pdf = regs_pdf[regs_pdf["__rho"].notna()]
+
+    if len(regs_pdf):
+        ii_all = regs_pdf["__idx"].to_numpy(dtype=np.int64)
+        rr_all = regs_pdf["__rho"].to_numpy(dtype=np.int64)
+        if by:
+            key_tuples = list(zip(*(regs_pdf[c] for c in by)))
+            for k, i, r in zip(key_tuples, ii_all, rr_all):
+                per_key[k].append((i, r))
+        else:
+            per_key[()] = list(zip(ii_all, rr_all))
+
+    # keys that might still be sparse: ≤ capacity nonzero registers
+    maybe_sparse = [k for k, rows in per_key.items() if len(rows) <= cap]
+    sparse_encs: dict = {}
+    if maybe_sparse and cap > 0:
+        if by:
+            keys_df = spark.createDataFrame(
+                [tuple(k) for k in maybe_sparse], StructType([df.schema[c] for c in by])
+            )
+            target = hdf.join(F.broadcast(keys_df), on=by, how="left_semi")
+        else:
+            target = hdf
+        enc_pdf = target.select(*by, "__enc").distinct().toArrow().to_pandas()
+        if by:
+            for k, e in zip(zip(*(enc_pdf[c] for c in by)), enc_pdf["__enc"]):
+                sparse_encs.setdefault(k, []).append(e)
+        else:
+            sparse_encs[()] = list(enc_pdf["__enc"])
+
+    if not by and not per_key:
+        per_key[()] = []
+
+    out = []
+    for k, rows in per_key.items():
+        encs = sparse_encs.get(k)
+        if not rows and encs is None:
+            # key exists but has no non-null values → empty (sparse) sketch,
+            # matching the python builder's lazy-created empty state
+            out.append((k, HLL.create(b=b, binbits=binbits, hash_kind=HASH_XXHASH_SPARK)))
+            continue
+        if encs is not None and len(encs) <= cap:
+            sk = HLL(b, binbits, np.unique(np.array(encs, dtype=np.int64).astype(np.uint32)), None, HASH_XXHASH_SPARK)
+        else:
+            dense = np.zeros(1 << b, dtype=np.uint8)
+            if rows:
+                ii = np.array([x[0] for x in rows], dtype=np.int64)
+                rr = np.array([x[1] for x in rows], dtype=np.int64)
+                np.maximum.at(dense, ii, np.minimum(rr, 255).astype(np.uint8))
+            sk = HLL(b, binbits, None, dense, HASH_XXHASH_SPARK)
+        out.append((k, sk))
+
+    if chain_rows:
+        by_key: dict = {}
+        for r in chain_rows:
+            by_key.setdefault(tuple(r[c] for c in by), []).append(r["__h"])
+        sk_map = dict(out)
+        for k, hs in by_key.items():
+            sk_map[k].add_hashes(np.array(hs, dtype=np.int64).view(np.uint64))
+        out = list(sk_map.items())
+
+    schema = StructType([df.schema[c] for c in by] + [StructField("sketch", BinaryType(), True)])
+    rows_out = [(*k, sk.to_bytes()) for k, sk in sorted(out, key=lambda kv: tuple(str(x) for x in kv[0]))]
+    return spark.createDataFrame(rows_out, schema)

@@ -42,9 +42,10 @@ def test_two_phase_equals_grouped_agg_udf(spark, sf001_dir):
     """Two-phase pipeline and the GROUPED_AGG convenience path must produce
     byte-identical final registers (merge determinism across topologies)."""
     orders = spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    # python engine + murmur hashing to match the GROUPED_AGG UDAF's domain
     two_phase = {
         r["o_orderpriority"]: bytes(r["sketch"])
-        for r in agg.sketch(orders, "o_custkey", by=["o_orderpriority"]).collect()
+        for r in agg.sketch(orders, "o_custkey", by=["o_orderpriority"], engine="python", jvm_prehash=False).collect()
     }
     via_udaf = {
         r["o_orderpriority"]: bytes(r["sk"])

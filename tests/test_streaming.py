@@ -34,7 +34,11 @@ def test_sketch_stream_matches_batch(spark, staged_events, tmp_path):
     q.awaitTermination(120)
 
     got = {r["event_type"]: bytes(r["sketch"]) for r in ss.state(spark).collect()}
-    direct = {r["event_type"]: bytes(r["sketch"]) for r in agg.sketch(e, "user_id", by=["event_type"]).collect()}
+    # streaming state is built by the python-engine builder → compare same engine
+    direct = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in agg.sketch(e, "user_id", by=["event_type"], engine="python").collect()
+    }
     assert got == direct  # byte-identical to the batch pipeline
 
     ests = {r["event_type"]: r["est"] for r in ss.estimates(spark).collect()}
