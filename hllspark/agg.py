@@ -256,8 +256,12 @@ def build_partials(
     b, binbits = resolve_params(b, binbits, error_rate, ndistinct)
     by = list(by or [])
     hash_kind = 0
-    if input_type == "auto" and factory is None:
-        df, value_col, input_type, hash_kind = _apply_jvm_prehash(df.select(*by, value_col), value_col, by, jvm_prehash)
+    if input_type == "auto" and (factory is None or jvm_prehash is True):
+        # for custom factories, prehash only on explicit request (the factory
+        # must then construct its sketches with hash_kind=HASH_XXHASH_SPARK)
+        df, value_col, input_type, hash_kind = _apply_jvm_prehash(
+            df.select(*by, value_col), value_col, by, True if factory is not None else jvm_prehash
+        )
     cols = by + [value_col]
     schema = _partial_schema(df.select(*cols), by, lineage)
     return df.select(*cols).mapInArrow(
@@ -467,15 +471,21 @@ def sketch_generic(
     input_type: str = "auto",
     fanin: int = 64,
     merge_rounds: int | None = None,
+    jvm_prehash: bool = False,
 ) -> DataFrame:
     """Two-phase pipeline for ANY Sketch-protocol class (count-min, Bloom,
     t-digest, KLL, MinHash, ...): same partial/merge topology as HLL.
 
     ``factory``: zero-arg constructor for a fresh state (e.g.
     ``lambda: CountMin.create(width=4096, depth=5)``); ``cls`` provides
-    ``from_bytes`` for the merge phase.
+    ``from_bytes`` for the merge phase.  ``jvm_prehash=True`` hashes the
+    value column JVM-side with xxhash64 (8 bytes/row into Python) — the
+    factory must then create sketches with hash_kind=HASH_XXHASH_SPARK so
+    probes use the matching hash (hllspark.core.xxhash).
     """
-    partials = build_partials(df, value_col, by, input_type=input_type, lineage=False, factory=factory)
+    partials = build_partials(
+        df, value_col, by, input_type=input_type, lineage=False, factory=factory, jvm_prehash=jvm_prehash
+    )
     return merge_partials(partials, by, fanin=fanin, merge_rounds=merge_rounds, cls=cls)
 
 

@@ -265,36 +265,54 @@ def make_generic_merge_agg(cls):
     return _merge
 
 
+def _probe_hashes(values: pd.Series, hash_kind: int) -> np.ndarray:
+    """Hash probe values in the same domain the sketch was built in: murmur
+    (anyelement canonicalization) for hash_kind 0, Spark xxhash64 for
+    hash_kind 1 (sketches built by the JVM engine / jvm_prehash)."""
+    if hash_kind == 1:
+        from .core.xxhash import spark_xxhash64_series
+
+        return spark_xxhash64_series(values)
+    return hash_series(values, "auto")
+
+
+def _probe_loop(sketch: pd.Series, value: pd.Series, cls, fn):
+    mask = sketch.notna() & value.notna()
+    out = pd.Series([None] * len(sketch), dtype="object")
+    if not mask.any():
+        return out
+    sketches = {i: cls.from_bytes(bytes(b)) for i, b in sketch[mask].items()}
+    # group probes by the sketch's hash domain
+    kinds = pd.Series({i: getattr(s, "hash_kind", 0) for i, s in sketches.items()})
+    for kind in kinds.unique():
+        idxs = kinds[kinds == kind].index
+        hashes = _probe_hashes(value[idxs], int(kind))
+        for i, h in zip(idxs, hashes):
+            out[i] = fn(sketches[i], h.reshape(1))
+    return out
+
+
 @pandas_udf(LongType())
 def cm_query(sketch: pd.Series, value: pd.Series) -> pd.Series:
     """count-min frequency estimate.  The probe value is canonicalized by its
-    OWN SQL type (anyelement semantics, hyperloglog_counter.c:536-547): probe
-    an int64-built sketch with a long, a string-built one with a string."""
+    OWN SQL type (anyelement semantics, hyperloglog_counter.c:536-547) in the
+    hash domain recorded in the sketch header."""
     from .sketches import CountMin
 
-    mask = sketch.notna() & value.notna()
-    out = pd.Series([None] * len(sketch), dtype="object")
-    if mask.any():
-        hashes = hash_series(value[mask], "auto")
-        for (i, blob), h in zip(sketch[mask].items(), hashes):
-            cm = CountMin.from_bytes(bytes(blob))
-            out[i] = int(cm.query_hashes(h.reshape(1))[0])
-    return out.astype("Int64")
+    return _probe_loop(
+        sketch, value, CountMin, lambda cm, h: int(cm.query_hashes(h)[0])
+    ).astype("Int64")
 
 
 @pandas_udf(BooleanType())
 def bloom_contains(sketch: pd.Series, value: pd.Series) -> pd.Series:
-    """Membership probe, canonicalized by the probe value's own SQL type."""
+    """Membership probe, canonicalized by the probe value's own SQL type in
+    the sketch's hash domain."""
     from .sketches import Bloom
 
-    mask = sketch.notna() & value.notna()
-    out = pd.Series([None] * len(sketch), dtype="object")
-    if mask.any():
-        hashes = hash_series(value[mask], "auto")
-        for (i, blob), h in zip(sketch[mask].items(), hashes):
-            bf = Bloom.from_bytes(bytes(blob))
-            out[i] = bool(bf.contains_hashes(h.reshape(1))[0])
-    return out.astype("boolean")
+    return _probe_loop(
+        sketch, value, Bloom, lambda bf, h: bool(bf.contains_hashes(h)[0])
+    ).astype("boolean")
 
 
 @pandas_udf(DoubleType())
