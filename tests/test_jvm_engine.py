@@ -74,3 +74,32 @@ def test_distinct_auto_uses_jvm_and_matches_exact(spark, sf01_dir):
     exact = li.select(F.countDistinct("l_orderkey")).first()[0]
     est = agg.distinct(li, "l_orderkey").first()["est"]  # auto → jvm engine
     assert abs(est - exact) / exact < 3 * 1.04 / (2**14) ** 0.5
+
+
+def test_countmin_bloom_jvm_byte_parity(spark, sf01_dir):
+    """JVM-native count-min/bloom builders produce byte-identical sketches to
+    the python engine with jvm_prehash=True."""
+    from hllspark.core.hll import HASH_XXHASH_SPARK
+    from hllspark.sketches import Bloom, CountMin
+    from hllspark.sketches.jvm import bloom_jvm, countmin_jvm
+
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    py_cm = _bytes_by_key(
+        agg.sketch_generic(
+            li, "l_partkey",
+            lambda: CountMin.create(width=1024, depth=4, hash_kind=HASH_XXHASH_SPARK),
+            CountMin, by=["l_returnflag"], jvm_prehash=True,
+        ), ["l_returnflag"],
+    )
+    jv_cm = _bytes_by_key(countmin_jvm(li, "l_partkey", by=["l_returnflag"], width=1024, depth=4), ["l_returnflag"])
+    assert py_cm == jv_cm
+
+    py_bf = _bytes_by_key(
+        agg.sketch_generic(
+            li, "l_suppkey",
+            lambda: Bloom.create(m_bits=1 << 16, k=5, hash_kind=HASH_XXHASH_SPARK),
+            Bloom, jvm_prehash=True,
+        ), [],
+    )
+    jv_bf = _bytes_by_key(bloom_jvm(li, "l_suppkey", m_bits=1 << 16, k=5), [])
+    assert py_bf == jv_bf
