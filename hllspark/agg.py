@@ -600,6 +600,12 @@ def sketch_jvm(
     bytes — byte-identical to the python engine's jvm_prehash path (tested),
     so sketches from either engine merge freely.  ~6× faster scans than the
     mapInArrow path because no per-row bytes ever cross into Python.
+
+    Scale envelope: assembly is driver-side, so this engine suits low-to-
+    moderate group-key cardinality (≲10^4 keys × ≤2^b register rows).  For
+    high-cardinality grouping (per-domain, per-user) use engine="python" —
+    its per-partition partials keep everything distributed.  A hard guard
+    below fails loudly rather than silently OOMing the driver.
     """
     from .core.hll import HASH_XXHASH_SPARK, sparse_capacity
     from .functions import resolve_params
@@ -635,6 +641,12 @@ def sketch_jvm(
     )
     regs_tbl = regs.toArrow()  # columnar fetch — ~100× cheaper than Row collect
     regs_pdf = regs_tbl.to_pandas()
+    if len(regs_pdf) > 20_000_000:
+        raise ValueError(
+            f"sketch_jvm collected {len(regs_pdf):,} register rows — group-key "
+            "cardinality is too high for driver-side assembly; use "
+            "engine='python' (distributed partial sketches) for this query"
+        )
     chain_rows = [
         {**{c: r[c] for c in by}, "__h": hv}
         for _, r in regs_pdf[regs_pdf["__chains"].map(len) > 0].iterrows()
