@@ -43,7 +43,7 @@ from pyspark.sql.types import (
 )
 
 from .core.hash import hash_arrow_array
-from .core.hll import HLL
+from .core.hll import HLL, decode_encodes
 from .functions import DEFAULT_B, DEFAULT_BINBITS, hll_estimate, hll_estimate_bigint
 
 LINEAGE_FIELDS = [
@@ -645,7 +645,7 @@ def sketch_jvm(
         raise ValueError(
             f"sketch_jvm collected {len(regs_pdf):,} register rows — group-key "
             "cardinality is too high for driver-side assembly; use "
-            "engine='python' (distributed partial sketches) for this query"
+            "sketch_jvm_distributed (unbounded keys) or engine='python'"
         )
     chain_rows = [
         {**{c: r[c] for c in by}, "__h": hv}
@@ -724,3 +724,105 @@ def sketch_jvm(
     schema = StructType([df.schema[c] for c in by] + [StructField("sketch", BinaryType(), True)])
     rows_out = [(*k, sk.to_bytes()) for k, sk in sorted(out, key=lambda kv: tuple(str(x) for x in kv[0]))]
     return spark.createDataFrame(rows_out, schema)
+
+
+def sketch_jvm_distributed(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    b: int | None = None,
+    binbits: int | None = None,
+) -> DataFrame:
+    """sketch_jvm with DISTRIBUTED assembly — same JVM-native reduction, but
+    sketches are built inside applyInPandas per key, so group-key cardinality
+    is unbounded (the per-key state is ≤2^b register rows or ≤capacity
+    encodes).  Byte-identical output to sketch_jvm (tested).
+
+      pass 1: groupBy(key, idx).max(rho) → applyInPandas: keys with more
+              than `capacity` nonzero registers become dense sketches here
+      pass 2: the remaining (maybe-sparse) keys get a targeted
+              distinct-encode pass, unioned with their rare chain rows,
+              and assemble as canonical sparse (or decode-dense) sketches
+    """
+    from .core.hll import HASH_XXHASH_SPARK, sparse_capacity
+    from .functions import resolve_params
+
+    b, binbits = resolve_params(b, binbits)
+    by = list(by or [])
+    if not by:
+        return sketch_jvm(df, value_col, None, b, binbits)
+    cap = sparse_capacity(b)
+
+    h = F.when(F.col(value_col).isNull(), None).otherwise(F.xxhash64(value_col))
+    hdf_all = _with_jvm_kernels(df.select(*by, h.alias("__h")), "__h", b, binbits)
+    hdf = hdf_all.filter(~F.col("__chain"))
+
+    regs = (
+        hdf_all.select(
+            *by,
+            "__idx",
+            F.when(~F.col("__chain"), F.col("__rho")).alias("__rho"),
+            F.when(F.col("__chain"), F.col("__h")).alias("__chain_h"),
+        )
+        .groupBy(*by, "__idx")
+        .agg(F.max("__rho").alias("__rho"), F.collect_list("__chain_h").alias("__chains"))
+    ).cache()
+
+    key_fields = [df.schema[c] for c in by]
+    out_schema = StructType(key_fields + [StructField("sketch", BinaryType(), True)])
+    bb, bbin = b, binbits
+
+    def assemble_dense(pdf: pd.DataFrame) -> pd.DataFrame:
+        valid = pdf[pdf["__rho"].notna()]
+        chains = [hv for ch in pdf["__chains"] for hv in ch]
+        key = {c: [pdf[c].iloc[0]] for c in by}
+        if len(valid) > cap:
+            dense = np.zeros(1 << bb, dtype=np.uint8)
+            np.maximum.at(
+                dense,
+                valid["__idx"].to_numpy(dtype=np.int64),
+                np.minimum(valid["__rho"].to_numpy(dtype=np.int64), 255).astype(np.uint8),
+            )
+            sk = HLL(bb, bbin, None, dense, HASH_XXHASH_SPARK)
+            if chains:
+                sk.add_hashes(np.array(chains, dtype=np.int64).view(np.uint64))
+            return pd.DataFrame({**key, "sketch": [sk.to_bytes()]})
+        if len(valid) == 0 and not chains:
+            # key with only NULL values → empty sketch
+            sk = HLL.create(b=bb, binbits=bbin, hash_kind=HASH_XXHASH_SPARK)
+            return pd.DataFrame({**key, "sketch": [sk.to_bytes()]})
+        # maybe-sparse → defer to pass 2
+        return pd.DataFrame({**key, "sketch": [None]})
+
+    pass1 = regs.groupBy(*by).applyInPandas(assemble_dense, schema=out_schema).cache()
+    done = pass1.filter(F.col("sketch").isNotNull())
+    flagged = pass1.filter(F.col("sketch").isNull()).select(*by)
+
+    def assemble_sparse(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = {c: [pdf[c].iloc[0]] for c in by}
+        encs = pdf.loc[pdf["__enc"].notna(), "__enc"].to_numpy(dtype=np.int64).astype(np.uint32)
+        chains = pdf.loc[pdf["__chain_h"].notna(), "__chain_h"].to_numpy(dtype=np.int64)
+        encs = np.unique(encs)
+        if len(encs) > cap:
+            idxs, rhos = decode_encodes(encs, bb, bbin)
+            dense = np.zeros(1 << bb, dtype=np.uint8)
+            np.maximum.at(dense, idxs, rhos)
+            sk = HLL(bb, bbin, None, dense, HASH_XXHASH_SPARK)
+        else:
+            sk = HLL(bb, bbin, encs, None, HASH_XXHASH_SPARK)
+        if len(chains):
+            sk.add_hashes(chains.view(np.uint64))
+        return pd.DataFrame({**key, "sketch": [sk.to_bytes()]})
+
+    enc_rows = (
+        hdf.join(F.broadcast(flagged), on=by, how="left_semi")
+        .select(*by, F.col("__enc"), F.lit(None).cast("long").alias("__chain_h"))
+        .distinct()
+    )
+    chain_rows = (
+        regs.join(F.broadcast(flagged), on=by, how="left_semi")
+        .select(*by, F.explode("__chains").alias("__chain_h"))
+        .select(*by, F.lit(None).cast("long").alias("__enc"), "__chain_h")
+    )
+    pass2 = enc_rows.unionByName(chain_rows).groupBy(*by).applyInPandas(assemble_sparse, schema=out_schema)
+    return done.unionByName(pass2)

@@ -103,3 +103,28 @@ def test_countmin_bloom_jvm_byte_parity(spark, sf01_dir):
     )
     jv_bf = _bytes_by_key(bloom_jvm(li, "l_suppkey", m_bits=1 << 16, k=5), [])
     assert py_bf == jv_bf
+
+
+def test_distributed_assembly_byte_parity(spark, sf01_dir):
+    """sketch_jvm_distributed (unbounded key cardinality) must match the
+    driver-assembled sketch_jvm byte-for-byte, including sparse keys, the
+    promotion boundary, and null-only groups."""
+    pages = spark.read.parquet("/root/repo/data/pages_small")
+    a = _bytes_by_key(agg.sketch_jvm(pages, "url", by=["lang"]), ["lang"])
+    b = _bytes_by_key(agg.sketch_jvm_distributed(pages, "url", by=["lang"]), ["lang"])
+    assert a == b
+
+    # sparse keys + a null-only group
+    df = spark.createDataFrame(
+        [(g, f"v{i % (8 * (g + 1))}") for g in range(4) for i in range(400)] + [(9, None)] * 3,
+        "g int, v string",
+    )
+    a = _bytes_by_key(agg.sketch_jvm(df, "v", by=["g"]), ["g"])
+    b = _bytes_by_key(agg.sketch_jvm_distributed(df, "v", by=["g"]), ["g"])
+    assert a == b
+
+    # high-cardinality grouping: one tiny sketch per customer
+    o = spark.read.parquet(f"{sf01_dir}/orders.parquet")
+    a = _bytes_by_key(agg.sketch_jvm(o, "o_orderkey", by=["o_custkey"]), ["o_custkey"])
+    b = _bytes_by_key(agg.sketch_jvm_distributed(o, "o_orderkey", by=["o_custkey"]), ["o_custkey"])
+    assert a == b and len(a) > 500
