@@ -421,8 +421,10 @@ def q_lang_id_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (no SQL oracle): fake-codec decode + feature extract
-    through the real Arrow plumbing."""
+    """Fake-codec decode + feature extract through the real Arrow plumbing,
+    reduced to order-independent scalar aggregates (per-image values are
+    micro-rounded BEFORE summing so partition order can't flip a rounding),
+    checked against deterministic literals in the DuckDB oracle."""
     from pyspark.sql import Row
 
     from hllspark.pipeline import multimodal as mm
@@ -432,7 +434,15 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         Row(media_id=i, payload=codec.make_image(32, 24, seed=i), meta=None) for i in range(50)
     ]
     df = spark.createDataFrame(rows, mm.media_schema())
-    return mm.image_features(df, codec=codec).orderBy("media_id")
+    feats = mm.image_features(df, codec=codec)
+    return feats.agg(
+        F.count("*").alias("n_images"),
+        F.sum("width").alias("width_sum"),
+        F.sum("height").alias("height_sum"),
+        F.sum(F.round(F.col("mean") * 1e6).cast("long")).alias("mean_micro_sum"),
+        F.sum(F.round(F.col("std") * 1e6).cast("long")).alias("std_micro_sum"),
+        F.sum(F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x)).alias("hist_total"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -562,6 +572,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES (1, 'en'), (2, 'es'), (3, 'de'), (4, 'fr'), "
             "(5, 'ru'), (6, 'zh'), (7, 'ja')) AS t(id, pred) ORDER BY id"
         ),
-        # multimodal_image_features intentionally has no oracle (rows-only):
-        # fake-codec features aren't SQL-expressible
+        # deterministic FakeCodec literals (numpy RandomState is platform-
+        # stable; per-image micro-rounding before the sum makes the values
+        # independent of partition/summation order)
+        "multimodal_image_features": (
+            "SELECT CAST(50 AS BIGINT) AS n_images, CAST(1600 AS BIGINT) AS width_sum, "
+            "CAST(1200 AS BIGINT) AS height_sum, CAST(6400281252 AS BIGINT) AS mean_micro_sum, "
+            "CAST(3695961838 AS BIGINT) AS std_micro_sum, CAST(38400 AS BIGINT) AS hist_total"
+        ),
     }
