@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -94,6 +95,7 @@ def _make_builder(
         rows_seen = 0
         nulls = 0
         states: dict = {}
+        touched: set = set()  # keys that received ≥1 non-NULL value
         key_arrays: list[pa.Array] | None = None
 
         for batch in batches:
@@ -111,6 +113,7 @@ def _make_builder(
                 nn = vcol.drop_null() if nnull else vcol
                 if len(nn):
                     st.update_arrow(nn, input_type)
+                    touched.add(())
                 continue
             if batch.num_rows == 0:
                 continue
@@ -162,6 +165,7 @@ def _make_builder(
                     hidx = idx
                 if len(hidx) == 0:
                     continue
+                touched.add(k)
                 if hashes is not None:
                     st.add_hashes(hashes[hidx])
                 elif factory is not None:
@@ -180,7 +184,19 @@ def _make_builder(
             vals = [None if v is None or v != v else v for v in (k[i] for k in keys)]  # NaN/NaT → null
             arrays.append(pa.array(vals, type=typ))
             names.append(c)
-        arrays.append(pa.array([states[k].to_bytes() for k in keys], type=pa.binary()))
+        # NULL contract (hyperloglog_counter.c:218-220, 511-513): a group whose
+        # every value was NULL yields SQL NULL, not an empty sketch.  Applies
+        # to the HLL path; custom Sketch factories keep their empty state
+        # (their protocols define empty semantics themselves).
+        # HLL partials ship group-varint-compressed sparse payloads (the
+        # hyperloglog_comp finalfunc role, greenplum.sql:327): ~2.6 B/entry
+        # instead of 4 on the partial shuffle; the merge phase re-expands.
+        def emit(k):
+            if factory is not None:
+                return states[k].to_bytes()
+            return states[k].to_bytes(compress=True) if k in touched else None
+
+        arrays.append(pa.array([emit(k) for k in keys], type=pa.binary()))
         names.append("sketch")
         if lineage:
             n = len(keys)
@@ -207,6 +223,33 @@ def _merge_rows(sketches: Iterable, cls=HLL) -> bytes | None:
 
 
 _STRINGY = ("string", "binary")
+_NARROW_INTS = ("tinyint", "smallint", "int", "boolean")
+
+
+def canon_xxhash_col(df: DataFrame, value_col: str):
+    """Column expression to feed F.xxhash64, with narrow integral types cast
+    to LongType first.
+
+    Spark's xxhash64 dispatches per SQL type (IntegerType → 4-byte path,
+    LongType → 8-byte path).  Python-side probes of a JVM-built sketch
+    (cm_query / bloom_contains / driver adds) receive pandas batches where
+    the SQL type is unrecoverable — an int64 column *with NULLs* arrives as
+    float64 — so per-type probe dispatch is impossible to get right.  The
+    fix is at the source: every JVM hashing entry point canonicalizes
+    byte/short/int/boolean → long, making 'integral values hash via the
+    8-byte path' a representation-independent invariant on both sides.
+    """
+    col = F.col(value_col)
+    if dict(df.dtypes).get(value_col, "") in _NARROW_INTS:
+        col = col.cast("long")
+    return col
+
+
+def jvm_hash_expr(df: DataFrame, value_col: str):
+    """NULL-preserving, type-canonicalized JVM hash of a column
+    (xxhash64 of NULL would yield the seed, so guard explicitly)."""
+    col = canon_xxhash_col(df, value_col)
+    return F.when(F.col(value_col).isNull(), None).otherwise(F.xxhash64(col))
 
 
 def _apply_jvm_prehash(df: DataFrame, value_col: str, by: Sequence[str], jvm_prehash) -> tuple[DataFrame, str, str, int]:
@@ -225,10 +268,7 @@ def _apply_jvm_prehash(df: DataFrame, value_col: str, by: Sequence[str], jvm_pre
     if not jvm_prehash:
         return df, value_col, "auto", 0
     hcol = f"__hll_h_{value_col}"
-    # NULL preserved: xxhash64 of NULL yields the seed, so guard explicitly
-    df = df.select(
-        *by, F.when(F.col(value_col).isNull(), None).otherwise(F.xxhash64(value_col)).alias(hcol)
-    )
+    df = df.select(*by, jvm_hash_expr(df, value_col).alias(hcol))
     return df, hcol, "prehashed64", HASH_XXHASH_SPARK
 
 
@@ -368,9 +408,11 @@ def merge_partials_driver(partials: DataFrame, by: Sequence[str] | None = None, 
         k = tuple(r[c] for c in by)
         blob = r[sketch_col]
         if blob is None:
+            # all-NULL partial: keep the key (its merged result may stay NULL)
+            acc.setdefault(k, None)
             continue
         s = cls.from_bytes(bytes(blob))
-        if k in acc:
+        if acc.get(k) is not None:
             acc[k].merge(s)
         else:
             acc[k] = s
@@ -396,12 +438,17 @@ def sketch(
     reference-style (error_rate, ndistinct) derivation.
 
     ``engine``: "jvm" keeps the whole reduction in Catalyst (fastest; hashes
-    with xxhash64), "python" uses the mapInArrow builder (required for
-    murmur reference-parity via input_type/jvm_prehash=False).  "auto" picks
-    jvm when nothing pins the hash function to murmur."""
+    with xxhash64) — grouped queries assemble DISTRIBUTED (unbounded key
+    cardinality), global ones on the driver; "jvm_driver" forces driver-side
+    assembly (lowest latency when the key count is known-small);
+    "python" uses the mapInArrow builder (required for murmur
+    reference-parity via input_type/jvm_prehash=False).  "auto" picks jvm
+    when nothing pins the hash function to murmur."""
     if engine == "auto":
         engine = "jvm" if (input_type == "auto" and jvm_prehash in ("auto", True)) else "python"
-    if engine == "jvm":
+    if engine == "jvm" and list(by or []):
+        return sketch_jvm_distributed(df, value_col, by, b, binbits, error_rate, ndistinct)
+    if engine in ("jvm", "jvm_driver"):
         return sketch_jvm(df, value_col, by, b, binbits, error_rate, ndistinct)
     partials = build_partials(
         df, value_col, by, b, binbits, input_type, lineage=False, jvm_prehash=jvm_prehash,
@@ -429,6 +476,10 @@ def distinct(
     finalfunc role) instead of an extra Spark stage.  "auto" enables it for
     global sketches on ≤256-way clusters; pass True for grouped queries whose
     key cardinality is known to be small (e.g. per-lang).
+
+    NULL contract (hyperloglog_counter.c:511-513): a group with zero non-NULL
+    values estimates NULL; ``bigint=True`` coalesces NULL→0
+    (postgres.sql:169-171).
     """
     from .functions import resolve_params
 
@@ -437,23 +488,46 @@ def distinct(
     spark = df.sparkSession
     if engine == "auto":
         engine = "jvm" if (input_type == "auto" and jvm_prehash in ("auto", True)) else "python"
-    if engine == "jvm":
-        sk = sketch_jvm(df, value_col, by, b, binbits)
-        est = hll_estimate_bigint(F.col("sketch")) if bigint else hll_estimate(F.col("sketch"))
-        return sk.select(*by, est.alias(est_col))
+    if engine in ("jvm", "jvm_driver"):
+        if by and engine == "jvm":
+            # distributed assembly emits estimates directly inside the
+            # per-key finalize — no extra Python-UDF job over the sketches
+            return sketch_jvm_distributed(
+                df, value_col, by, b, binbits,
+                finalize="estimate_bigint" if bigint else "estimate", est_col=est_col,
+            )
+        # global (or forced driver assembly): states already live on the
+        # driver — estimate in numpy, skip the Spark estimate job entirely
+        states = _sketch_jvm_states(df, value_col, by, b, binbits)
+        if not by and not states:
+            states = {(): None}
+        rows = []
+        for k, s in sorted(states.items(), key=lambda kv: tuple(str(x) for x in kv[0])):
+            e = None if s is None else s.estimate()
+            if bigint:
+                rows.append((*k, 0 if e is None else int(round(e))))
+            else:
+                rows.append((*k, None if e is None else float(e)))
+        schema_fields = _nullable_key_fields(df, by) + [
+            StructField(est_col, LongType() if bigint else DoubleType(), not bigint)
+        ]
+        return spark.createDataFrame(rows, StructType(schema_fields))
     if driver_merge == "auto":
         driver_merge = not by and spark.sparkContext.defaultParallelism <= 256
     if driver_merge:
         partials = build_partials(df, value_col, by, b, binbits, input_type, lineage=False, jvm_prehash=jvm_prehash)
         acc = merge_partials_driver(partials, by)
         if not by and not acc:
-            acc = {(): HLL.create(b=b, binbits=binbits)}
+            acc = {(): None}
         rows = []
         for k, s in sorted(acc.items(), key=lambda kv: tuple(str(x) for x in kv[0])):
-            e = s.estimate()
-            rows.append((*k, int(round(e)) if bigint else float(e)))
-        schema_fields = [df.schema[c] for c in by] + [
-            StructField(est_col, LongType() if bigint else DoubleType(), False)
+            e = None if s is None else s.estimate()
+            if bigint:
+                rows.append((*k, 0 if e is None else int(round(e))))
+            else:
+                rows.append((*k, None if e is None else float(e)))
+        schema_fields = _nullable_key_fields(df, by) + [
+            StructField(est_col, LongType() if bigint else DoubleType(), not bigint)
         ]
         return spark.createDataFrame(rows, StructType(schema_fields))
     sk = sketch(df, value_col, by, b, binbits, input_type, jvm_prehash=jvm_prehash)
@@ -579,6 +653,152 @@ def _jvm_exprs(h, b: int, binbits: int):
     return idx, rho, enc, chain
 
 
+def _nullable_key_fields(df: DataFrame, by: Sequence[str]) -> list[StructField]:
+    """Key fields with nullability forced on: group keys can be NULL even
+    when the source column is declared non-nullable downstream of a join."""
+    return [StructField(c, df.schema[c].dataType, True) for c in by]
+
+
+def _semi_join_keys(left: DataFrame, keys_df: DataFrame, by: Sequence[str], broadcast: bool = True) -> DataFrame:
+    """left_semi join on the key columns with NULL-SAFE equality: NULL group
+    keys are real groups (SQL GROUP BY keeps them), and a plain equi-join
+    would silently drop every row of a NULL-key group."""
+    right = F.broadcast(keys_df) if broadcast else keys_df
+    cond = None
+    for c in by:
+        e = left[c].eqNullSafe(keys_df[c])
+        cond = e if cond is None else cond & e
+    return left.join(right, on=cond, how="left_semi")
+
+
+def _hll_kernel_frames(df: DataFrame, value_col: str, by: Sequence[str], b: int, binbits: int):
+    """Shared front half of the JVM engines: NULL-preserving canonicalized
+    xxhash64, kernel columns, and the register reduction
+
+        groupBy(key, idx).agg(max(rho), sum(chain))
+
+    — a pure whole-stage-codegen HashAggregate (no collect_list, which would
+    force the slower ObjectHashAggregate path on 100% of rows to serve a
+    2^-44-probability case).  Chain hashes, when the count says any exist,
+    are fetched by a dedicated filter pass instead.
+
+    NULL values keep a NULL hash and flow through as a (key, NULL idx) row —
+    that's how all-NULL groups still surface (to yield a NULL sketch, the
+    reference's NULL contract) without an extra key scan.
+    """
+    h = jvm_hash_expr(df, value_col)
+    hdf_all = _with_jvm_kernels(df.select(*by, h.alias("__h")), "__h", b, binbits)
+    # chain rows (probability ~2^-(63-binbits) per row): the C semantics
+    # REPLACE rho with the rehash-chain result (which may be < 64), so these
+    # rows are excluded from the JVM max and replayed through the exact
+    # python kernels during assembly.
+    regs = (
+        hdf_all.select(
+            *by,
+            "__idx",
+            F.when(~F.col("__chain"), F.col("__rho")).alias("__rho"),
+            F.col("__chain").cast("int").alias("__c"),
+        )
+        .groupBy(*by, "__idx")
+        .agg(F.max("__rho").alias("__rho"), F.sum("__c").alias("__nchain"))
+    )
+    return hdf_all, regs
+
+
+def _sketch_jvm_states(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    b: int | None = None,
+    binbits: int | None = None,
+) -> dict:
+    """Driver-side assembly of the JVM reduction → {key tuple: HLL | None}.
+
+    None marks an all-NULL group (reference NULL contract).  Key values are
+    extracted from Arrow (``to_pylist``), NOT pandas — pandas would turn a
+    NULL in an int64 key column into NaN and degrade the whole column to
+    float64, corrupting exact key round-trips.
+    """
+    from .core.hll import HASH_XXHASH_SPARK, sparse_capacity
+    from .functions import resolve_params
+
+    b, binbits = resolve_params(b, binbits)
+    by = list(by or [])
+    spark = df.sparkSession
+    cap = sparse_capacity(b)
+
+    hdf_all, regs = _hll_kernel_frames(df, value_col, by, b, binbits)
+    hdf = hdf_all.filter(~F.col("__chain"))
+
+    tbl = regs.toArrow()  # columnar fetch — ~100× cheaper than Row collect
+    n = tbl.num_rows
+    if n > 20_000_000:
+        raise ValueError(
+            f"sketch_jvm collected {n:,} register rows — group-key "
+            "cardinality is too high for driver-side assembly; use "
+            "sketch_jvm_distributed (unbounded keys) or engine='python'"
+        )
+    keys_list = list(zip(*(tbl.column(c).to_pylist() for c in by))) if by else [()] * n
+    # __idx/__rho/__nchain are small ints — exact through float64-with-NaN
+    idx_np = tbl.column("__idx").to_numpy(zero_copy_only=False).astype(np.float64)
+    rho_np = tbl.column("__rho").to_numpy(zero_copy_only=False).astype(np.float64)
+    nchain_np = tbl.column("__nchain").to_numpy(zero_copy_only=False).astype(np.float64)
+
+    per_key: dict = {}
+    for k in keys_list:
+        per_key.setdefault(k, [])
+    valid = ~np.isnan(rho_np)
+    for j in np.nonzero(valid)[0]:
+        per_key[keys_list[j]].append((int(idx_np[j]), int(rho_np[j])))
+
+    # rho-overflow chain replay: only when the aggregate says any exist
+    chain_map: dict = {}
+    if np.nansum(nchain_np) > 0:
+        ct = hdf_all.filter(F.col("__chain")).select(*by, "__h").toArrow()
+        ckeys = list(zip(*(ct.column(c).to_pylist() for c in by))) if by else [()] * ct.num_rows
+        for k, hv in zip(ckeys, ct.column("__h").to_pylist()):
+            chain_map.setdefault(k, []).append(hv)
+
+    # keys that might still be sparse: ≤ capacity nonzero registers
+    maybe_sparse = [k for k, rows in per_key.items() if len(rows) <= cap]
+    sparse_encs: dict = {}
+    if maybe_sparse and cap > 0:
+        if by:
+            keys_df = spark.createDataFrame(
+                [tuple(k) for k in maybe_sparse], StructType(_nullable_key_fields(df, by))
+            )
+            target = _semi_join_keys(hdf, keys_df, by)
+        else:
+            target = hdf
+        enc_tbl = target.select(*by, "__enc").distinct().toArrow()
+        ekeys = list(zip(*(enc_tbl.column(c).to_pylist() for c in by))) if by else [()] * enc_tbl.num_rows
+        for k, e in zip(ekeys, enc_tbl.column("__enc").to_pylist()):
+            sparse_encs.setdefault(k, []).append(e)
+
+    out: dict = {}
+    for k, rows in per_key.items():
+        encs = sparse_encs.get(k)
+        chains = chain_map.get(k)
+        if not rows and encs is None and not chains:
+            # key whose every value was NULL → SQL NULL sketch
+            # (hyperloglog_counter.c:511-513)
+            out[k] = None
+            continue
+        if encs is not None and len(encs) <= cap and len(rows) <= cap:
+            sk = HLL(b, binbits, np.unique(np.array(encs, dtype=np.int64).astype(np.uint32)), None, HASH_XXHASH_SPARK)
+        else:
+            dense = np.zeros(1 << b, dtype=np.uint8)
+            if rows:
+                ii = np.array([x[0] for x in rows], dtype=np.int64)
+                rr = np.array([x[1] for x in rows], dtype=np.int64)
+                np.maximum.at(dense, ii, np.minimum(rr, 255).astype(np.uint8))
+            sk = HLL(b, binbits, None, dense, HASH_XXHASH_SPARK)
+        if chains:
+            sk.add_hashes(np.array(chains, dtype=np.int64).view(np.uint64))
+        out[k] = sk
+    return out
+
+
 def sketch_jvm(
     df: DataFrame,
     value_col: str,
@@ -590,139 +810,38 @@ def sketch_jvm(
 ) -> DataFrame:
     """Two-phase HLL with the ENTIRE hot path in whole-stage-codegen JVM:
 
-      xxhash64(value) → groupBy(key, idx).max(rho)      [Catalyst partial agg:
+      xxhash64(value) → groupBy(key, idx).agg(max(rho), sum(chain))
+                                                         [Catalyst partial agg:
                                                           shuffle ≤ P × 2^b rows]
       keys with ≤capacity nonzero registers → targeted distinct-encode pass
                                                           (exact sparse content)
-      rho-overflow rows (probability 2^-(63-binbits-b)) → python chain handler
+      rho-overflow rows (probability 2^-(63-binbits-b)) → dedicated replay
+                                                          pass, only if the
+                                                          chain count says so
 
     Python only assembles the final ≤2^b rows per key into canonical sketch
     bytes — byte-identical to the python engine's jvm_prehash path (tested),
-    so sketches from either engine merge freely.  ~6× faster scans than the
-    mapInArrow path because no per-row bytes ever cross into Python.
+    so sketches from either engine merge freely.
 
     Scale envelope: assembly is driver-side, so this engine suits low-to-
     moderate group-key cardinality (≲10^4 keys × ≤2^b register rows).  For
-    high-cardinality grouping (per-domain, per-user) use engine="python" —
-    its per-partition partials keep everything distributed.  A hard guard
-    below fails loudly rather than silently OOMing the driver.
+    high-cardinality grouping (per-domain, per-user) the default engine
+    routes to sketch_jvm_distributed; a hard guard here fails loudly rather
+    than silently OOMing the driver.
     """
-    from .core.hll import HASH_XXHASH_SPARK, sparse_capacity
     from .functions import resolve_params
 
     b, binbits = resolve_params(b, binbits, error_rate, ndistinct)
     by = list(by or [])
     spark = df.sparkSession
-    cap = sparse_capacity(b)
-
-    # NULL values keep a NULL hash and flow through the aggregate as a
-    # (key, NULL idx) row — that's how all-NULL groups still surface with an
-    # empty sketch (the reference's NULL contract) without an extra key scan
-    h = F.when(F.col(value_col).isNull(), None).otherwise(F.xxhash64(value_col))
-    hdf_all = _with_jvm_kernels(df.select(*by, h.alias("__h")), "__h", b, binbits)
-
-    # chain rows (probability ~2^-(63-binbits) per row): the C semantics
-    # REPLACE rho with the rehash-chain result (which may be < 64), so these
-    # rows are excluded from the JVM max and replayed through the exact
-    # python kernels at the end.  Captured in the SAME aggregate via a
-    # conditional collect_list — no second scan.
-    hdf = hdf_all.filter(~F.col("__chain"))
-
-    # A1: dense register candidates — the heavy reduction, all JVM
-    regs = (
-        hdf_all.select(
-            *by,
-            "__idx",
-            F.when(~F.col("__chain"), F.col("__rho")).alias("__rho"),
-            F.when(F.col("__chain"), F.col("__h")).alias("__chain_h"),
-        )
-        .groupBy(*by, "__idx")
-        .agg(F.max("__rho").alias("__rho"), F.collect_list("__chain_h").alias("__chains"))
-    )
-    regs_tbl = regs.toArrow()  # columnar fetch — ~100× cheaper than Row collect
-    regs_pdf = regs_tbl.to_pandas()
-    if len(regs_pdf) > 20_000_000:
-        raise ValueError(
-            f"sketch_jvm collected {len(regs_pdf):,} register rows — group-key "
-            "cardinality is too high for driver-side assembly; use "
-            "sketch_jvm_distributed (unbounded keys) or engine='python'"
-        )
-    chain_rows = [
-        {**{c: r[c] for c in by}, "__h": hv}
-        for _, r in regs_pdf[regs_pdf["__chains"].map(len) > 0].iterrows()
-        for hv in r["__chains"]
+    states = _sketch_jvm_states(df, value_col, by, b, binbits)
+    if not by and not states:
+        states = {(): None}  # aggregate over zero rows yields SQL NULL
+    schema = StructType(_nullable_key_fields(df, by) + [StructField("sketch", BinaryType(), True)])
+    rows_out = [
+        (*k, None if sk is None else sk.to_bytes())
+        for k, sk in sorted(states.items(), key=lambda kv: tuple(str(x) for x in kv[0]))
     ]
-    # register EVERY key (incl. null-only groups whose single row has a
-    # null idx/rho) before dropping the null-rho rows
-    per_key: dict = {}
-    if by:
-        for k in zip(*(regs_pdf[c] for c in by)):
-            per_key.setdefault(k, [])
-    elif len(regs_pdf):
-        per_key[()] = []
-    regs_pdf = regs_pdf[regs_pdf["__rho"].notna()]
-
-    if len(regs_pdf):
-        ii_all = regs_pdf["__idx"].to_numpy(dtype=np.int64)
-        rr_all = regs_pdf["__rho"].to_numpy(dtype=np.int64)
-        if by:
-            key_tuples = list(zip(*(regs_pdf[c] for c in by)))
-            for k, i, r in zip(key_tuples, ii_all, rr_all):
-                per_key[k].append((i, r))
-        else:
-            per_key[()] = list(zip(ii_all, rr_all))
-
-    # keys that might still be sparse: ≤ capacity nonzero registers
-    maybe_sparse = [k for k, rows in per_key.items() if len(rows) <= cap]
-    sparse_encs: dict = {}
-    if maybe_sparse and cap > 0:
-        if by:
-            keys_df = spark.createDataFrame(
-                [tuple(k) for k in maybe_sparse], StructType([df.schema[c] for c in by])
-            )
-            target = hdf.join(F.broadcast(keys_df), on=by, how="left_semi")
-        else:
-            target = hdf
-        enc_pdf = target.select(*by, "__enc").distinct().toArrow().to_pandas()
-        if by:
-            for k, e in zip(zip(*(enc_pdf[c] for c in by)), enc_pdf["__enc"]):
-                sparse_encs.setdefault(k, []).append(e)
-        else:
-            sparse_encs[()] = list(enc_pdf["__enc"])
-
-    if not by and not per_key:
-        per_key[()] = []
-
-    out = []
-    for k, rows in per_key.items():
-        encs = sparse_encs.get(k)
-        if not rows and encs is None:
-            # key exists but has no non-null values → empty (sparse) sketch,
-            # matching the python builder's lazy-created empty state
-            out.append((k, HLL.create(b=b, binbits=binbits, hash_kind=HASH_XXHASH_SPARK)))
-            continue
-        if encs is not None and len(encs) <= cap:
-            sk = HLL(b, binbits, np.unique(np.array(encs, dtype=np.int64).astype(np.uint32)), None, HASH_XXHASH_SPARK)
-        else:
-            dense = np.zeros(1 << b, dtype=np.uint8)
-            if rows:
-                ii = np.array([x[0] for x in rows], dtype=np.int64)
-                rr = np.array([x[1] for x in rows], dtype=np.int64)
-                np.maximum.at(dense, ii, np.minimum(rr, 255).astype(np.uint8))
-            sk = HLL(b, binbits, None, dense, HASH_XXHASH_SPARK)
-        out.append((k, sk))
-
-    if chain_rows:
-        by_key: dict = {}
-        for r in chain_rows:
-            by_key.setdefault(tuple(r[c] for c in by), []).append(r["__h"])
-        sk_map = dict(out)
-        for k, hs in by_key.items():
-            sk_map[k].add_hashes(np.array(hs, dtype=np.int64).view(np.uint64))
-        out = list(sk_map.items())
-
-    schema = StructType([df.schema[c] for c in by] + [StructField("sketch", BinaryType(), True)])
-    rows_out = [(*k, sk.to_bytes()) for k, sk in sorted(out, key=lambda kv: tuple(str(x) for x in kv[0]))]
     return spark.createDataFrame(rows_out, schema)
 
 
@@ -732,77 +851,110 @@ def sketch_jvm_distributed(
     by: Sequence[str],
     b: int | None = None,
     binbits: int | None = None,
+    error_rate: float | None = None,
+    ndistinct: float | None = None,
+    finalize: str = "sketch",
+    est_col: str = "est",
 ) -> DataFrame:
     """sketch_jvm with DISTRIBUTED assembly — same JVM-native reduction, but
     sketches are built inside applyInPandas per key, so group-key cardinality
     is unbounded (the per-key state is ≤2^b register rows or ≤capacity
     encodes).  Byte-identical output to sketch_jvm (tested).
 
-      pass 1: groupBy(key, idx).max(rho) → applyInPandas: keys with more
-              than `capacity` nonzero registers become dense sketches here
-      pass 2: the remaining (maybe-sparse) keys get a targeted
+      pass 1: groupBy(key, idx).agg(max(rho), sum(chain)) → applyInPandas:
+              keys with more than `capacity` nonzero registers (and no chain
+              rows) become dense sketches here; all-NULL keys become NULL
+      pass 2: the remaining (maybe-sparse or chained) keys get a targeted
               distinct-encode pass, unioned with their rare chain rows,
-              and assemble as canonical sparse (or decode-dense) sketches
+              and assemble as canonical sparse (or decode-dense) sketches;
+              skipped entirely when pass 1 finished every key
+
+    ``finalize``: "sketch" emits canonical bytes; "estimate" /
+    "estimate_bigint" emit the estimate directly from the per-key finalize
+    (saving a whole Python-UDF job for distinct()-style queries).
     """
     from .core.hll import HASH_XXHASH_SPARK, sparse_capacity
     from .functions import resolve_params
 
-    b, binbits = resolve_params(b, binbits)
+    b, binbits = resolve_params(b, binbits, error_rate, ndistinct)
     by = list(by or [])
     if not by:
         return sketch_jvm(df, value_col, None, b, binbits)
     cap = sparse_capacity(b)
-
-    h = F.when(F.col(value_col).isNull(), None).otherwise(F.xxhash64(value_col))
-    hdf_all = _with_jvm_kernels(df.select(*by, h.alias("__h")), "__h", b, binbits)
-    hdf = hdf_all.filter(~F.col("__chain"))
-
-    regs = (
-        hdf_all.select(
-            *by,
-            "__idx",
-            F.when(~F.col("__chain"), F.col("__rho")).alias("__rho"),
-            F.when(F.col("__chain"), F.col("__h")).alias("__chain_h"),
-        )
-        .groupBy(*by, "__idx")
-        .agg(F.max("__rho").alias("__rho"), F.collect_list("__chain_h").alias("__chains"))
-    ).cache()
-
-    key_fields = [df.schema[c] for c in by]
-    out_schema = StructType(key_fields + [StructField("sketch", BinaryType(), True)])
     bb, bbin = b, binbits
 
+    hdf_all, regs = _hll_kernel_frames(df, value_col, by, b, binbits)
+    hdf = hdf_all.filter(~F.col("__chain"))
+
+    if finalize == "sketch":
+        out_field = StructField("sketch", BinaryType(), True)
+    elif finalize == "estimate":
+        out_field = StructField(est_col, DoubleType(), True)
+    elif finalize == "estimate_bigint":
+        # nullable: pass-1 defer rows carry None in this slot before pass 2
+        out_field = StructField(est_col, LongType(), True)
+    else:
+        raise ValueError(f"unknown finalize {finalize!r}")
+
+    def emit(sk: HLL | None):
+        if finalize == "sketch":
+            return None if sk is None else sk.to_bytes()
+        e = None if sk is None else sk.estimate()
+        if finalize == "estimate_bigint":
+            return 0 if e is None else int(round(e))
+        return e
+
+    def keyrow(pdf: pd.DataFrame) -> dict:
+        # pandas degrades NULL-bearing int64/timestamp key columns to
+        # float64 NaN / NaT — normalize back to None for the Arrow return
+        out = {}
+        for c in by:
+            v = pdf[c].iloc[0]
+            out[c] = [None if v is None or v != v else v]
+        return out
+
+    key_fields = _nullable_key_fields(df, by)
+    pass1_schema = StructType(key_fields + [out_field, StructField("__defer", BooleanType(), False)])
+    out_schema = StructType(key_fields + [out_field])
+    vname = out_field.name
+
     def assemble_dense(pdf: pd.DataFrame) -> pd.DataFrame:
-        valid = pdf[pdf["__rho"].notna()]
-        chains = [hv for ch in pdf["__chains"] for hv in ch]
-        key = {c: [pdf[c].iloc[0]] for c in by}
-        if len(valid) > cap:
+        key = keyrow(pdf)
+        valid = pdf["__rho"].notna()
+        nchain = int(np.nansum(pdf["__nchain"].to_numpy(dtype=np.float64)))
+        nvalid = int(valid.sum())
+        if nvalid == 0 and nchain == 0:
+            # key whose every value was NULL → SQL NULL (reference contract)
+            return pd.DataFrame({**key, vname: [emit(None)], "__defer": [False]})
+        if nvalid > cap and nchain == 0:
             dense = np.zeros(1 << bb, dtype=np.uint8)
             np.maximum.at(
                 dense,
-                valid["__idx"].to_numpy(dtype=np.int64),
-                np.minimum(valid["__rho"].to_numpy(dtype=np.int64), 255).astype(np.uint8),
+                pdf.loc[valid, "__idx"].to_numpy(dtype=np.float64).astype(np.int64),
+                np.minimum(pdf.loc[valid, "__rho"].to_numpy(dtype=np.float64).astype(np.int64), 255).astype(np.uint8),
             )
             sk = HLL(bb, bbin, None, dense, HASH_XXHASH_SPARK)
-            if chains:
-                sk.add_hashes(np.array(chains, dtype=np.int64).view(np.uint64))
-            return pd.DataFrame({**key, "sketch": [sk.to_bytes()]})
-        if len(valid) == 0 and not chains:
-            # key with only NULL values → empty sketch
-            sk = HLL.create(b=bb, binbits=bbin, hash_kind=HASH_XXHASH_SPARK)
-            return pd.DataFrame({**key, "sketch": [sk.to_bytes()]})
-        # maybe-sparse → defer to pass 2
-        return pd.DataFrame({**key, "sketch": [None]})
+            return pd.DataFrame({**key, vname: [emit(sk)], "__defer": [False]})
+        # maybe-sparse (or has chain rows) → defer to pass 2
+        return pd.DataFrame({**key, vname: [None], "__defer": [True]})
 
-    pass1 = regs.groupBy(*by).applyInPandas(assemble_dense, schema=out_schema).cache()
-    done = pass1.filter(F.col("sketch").isNotNull())
-    flagged = pass1.filter(F.col("sketch").isNull()).select(*by)
+    pass1 = regs.groupBy(*by).applyInPandas(assemble_dense, schema=pass1_schema).cache()
+    done = pass1.filter(~F.col("__defer")).drop("__defer")
+    flagged = pass1.filter(F.col("__defer")).select(*by)
+
+    # materializes pass1 (cached); at web scale this is the point where the
+    # heavy reduction runs once — the emptiness check itself is then free
+    if flagged.isEmpty():
+        return done
 
     def assemble_sparse(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = {c: [pdf[c].iloc[0]] for c in by}
-        encs = pdf.loc[pdf["__enc"].notna(), "__enc"].to_numpy(dtype=np.int64).astype(np.uint32)
-        chains = pdf.loc[pdf["__chain_h"].notna(), "__chain_h"].to_numpy(dtype=np.int64)
-        encs = np.unique(encs)
+        key = keyrow(pdf)
+        encs = np.unique(
+            pdf.loc[pdf["__enc"].notna(), "__enc"].to_numpy(dtype=np.float64).astype(np.int64).astype(np.uint32)
+        )
+        # chain hashes travel as decimal strings: a nullable int64 column
+        # becomes float64 in pandas and would round hashes above 2^53
+        chains = np.array([int(x) for x in pdf["__chain_h"].dropna()], dtype=np.int64)
         if len(encs) > cap:
             idxs, rhos = decode_encodes(encs, bb, bbin)
             dense = np.zeros(1 << bb, dtype=np.uint8)
@@ -812,17 +964,17 @@ def sketch_jvm_distributed(
             sk = HLL(bb, bbin, encs, None, HASH_XXHASH_SPARK)
         if len(chains):
             sk.add_hashes(chains.view(np.uint64))
-        return pd.DataFrame({**key, "sketch": [sk.to_bytes()]})
+        return pd.DataFrame({**key, vname: [emit(sk)]})
 
+    # flagged can be any size (all keys, for high-cardinality sparse
+    # grouping): no broadcast hint — AQE picks broadcast when it fits
     enc_rows = (
-        hdf.join(F.broadcast(flagged), on=by, how="left_semi")
-        .select(*by, F.col("__enc"), F.lit(None).cast("long").alias("__chain_h"))
+        _semi_join_keys(hdf, flagged, by, broadcast=False)
+        .select(*by, F.col("__enc"), F.lit(None).cast("string").alias("__chain_h"))
         .distinct()
     )
-    chain_rows = (
-        regs.join(F.broadcast(flagged), on=by, how="left_semi")
-        .select(*by, F.explode("__chains").alias("__chain_h"))
-        .select(*by, F.lit(None).cast("long").alias("__enc"), "__chain_h")
+    chain_rows = _semi_join_keys(hdf_all.filter(F.col("__chain")), flagged, by, broadcast=False).select(
+        *by, F.lit(None).cast("long").alias("__enc"), F.col("__h").cast("string").alias("__chain_h")
     )
     pass2 = enc_rows.unionByName(chain_rows).groupBy(*by).applyInPandas(assemble_sparse, schema=out_schema)
     return done.unionByName(pass2)

@@ -153,16 +153,25 @@ def xxh64_strings(series, seed: np.uint64 = SPARK_SEED) -> np.ndarray:
 
 
 def spark_xxhash64_series(s, sql_type: str = "auto") -> np.ndarray:
-    """Hash a null-free pandas Series exactly like Spark's xxhash64(col):
-    integers ≤32-bit SQL types use the 4-byte path only when declared; by
-    default python ints hash as LongType (Spark's common case)."""
+    """Hash a null-free pandas Series exactly like Spark's xxhash64(col).
+
+    Integral values ALWAYS hash via the 8-byte LongType path in "auto" mode.
+    This is safe because every JVM hashing entry point in this library
+    (agg.jvm_hash_expr, used by sketch_jvm/_distributed, jvm_prehash,
+    countmin_jvm, bloom_jvm) canonicalizes byte/short/int/boolean columns to
+    LongType before calling F.xxhash64 — the probe side cannot recover the
+    SQL type from a pandas batch (an int64 column WITH NULLS arrives as
+    float64, per batch), so the builder side guarantees the domain instead.
+    To probe a sketch built with a raw ``F.xxhash64(int_col)`` outside those
+    entry points, pass ``sql_type='int32'`` explicitly (Spark's 4-byte
+    hashInt path)."""
     import pandas as pd
 
     if sql_type == "auto":
         if pd.api.types.is_float_dtype(s.dtype):
             # integral floats are nullable longs in pandas
             sql_type = "long"
-        elif pd.api.types.is_integer_dtype(s.dtype):
+        elif pd.api.types.is_integer_dtype(s.dtype) or pd.api.types.is_bool_dtype(s.dtype):
             sql_type = "long"
         else:
             sql_type = "string"

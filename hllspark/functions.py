@@ -163,9 +163,37 @@ def hll_length(sketch: pd.Series) -> pd.Series:
     return sketch.map(lambda v: None if v is None else len(v)).astype("Int32")
 
 
+@pandas_udf(BinaryType())
+def hll_comp(sketch: pd.Series) -> pd.Series:
+    """hyperloglog_comp (postgres.sql:43-45): re-serialize compressed —
+    sparse payloads delta+group-varint encoded (kept only if smaller,
+    hyperloglog.c:1102-1108), dense stay bit-packed (PGLZ delegated to
+    parquet/shuffle codecs, SURVEY.md §4)."""
+    return sketch.map(lambda v: None if v is None else HLL.from_bytes(bytes(v)).to_bytes(compress=True))
+
+
+@pandas_udf(BinaryType())
+def hll_decomp(sketch: pd.Series) -> pd.Series:
+    """hyperloglog_decomp (postgres.sql:47-49): fully expanded form — raw
+    sparse list / unpacked byte-per-register dense."""
+    return sketch.map(
+        lambda v: None if v is None else HLL.from_bytes(bytes(v)).to_bytes(packed=False, compress=False)
+    )
+
+
 @pandas_udf(StringType())
 def hll_info(sketch: pd.Series) -> pd.Series:
     return sketch.map(lambda v: None if v is None else json.dumps(HLL.from_bytes(bytes(v)).info()))
+
+
+@pandas_udf(BinaryType())
+def hll_update(sketch: pd.Series) -> pd.Series:
+    """hyperloglog_update (postgres.sql:53-55, upgrade.c:24-60): accept this
+    library's own versions OR the reference extension's v0/v1 blobs (bytea
+    content) and re-serialize canonically."""
+    from .core.legacy import upgrade_bytes
+
+    return sketch.map(lambda v: None if v is None else upgrade_bytes(bytes(v)))
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +234,14 @@ def make_sketch_agg(
 
     @pandas_udf(BinaryType())
     def _sketch_agg(v: pd.Series) -> bytes:
-        return build_sketch(v, b=rb, binbits=rbin, input_type=input_type).to_bytes()
+        vv = v.dropna()
+        if not len(vv):
+            # strict-aggregate NULL contract: an all-NULL group yields SQL
+            # NULL, not an empty sketch (hyperloglog_counter.c:511-513)
+            return None
+        h = HLL.create(b=rb, binbits=rbin)
+        h.add_hashes(hash_series(vv, input_type))
+        return h.to_bytes()
 
     return _sketch_agg
 
@@ -370,6 +405,9 @@ def register_sql(spark, b: int = DEFAULT_B, binbits: int = DEFAULT_BINBITS) -> N
     spark.udf.register("hll_symmetric_diff", hll_symmetric_diff)
     spark.udf.register("hll_equal", hll_equal)
     spark.udf.register("hll_length", hll_length)
+    spark.udf.register("hll_comp", hll_comp)
+    spark.udf.register("hll_decomp", hll_decomp)
+    spark.udf.register("hll_update", hll_update)
     spark.udf.register("hll_info", hll_info)
     spark.udf.register("hll_sketch_agg", make_sketch_agg(b, binbits))
     spark.udf.register("hll_sketch_agg_int32", make_sketch_agg(b, binbits, input_type="int32"))

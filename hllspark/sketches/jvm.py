@@ -10,6 +10,10 @@ Both produce byte-identical sketches to the python engine with
 jvm_prehash=True (hash_kind=HASH_XXHASH_SPARK) — tested in
 tests/test_jvm_engine.py — because the double-hash arithmetic
 (h1 + j*h2 with h1, h2 < 2^32) never wraps in a signed 64-bit long.
+
+Narrow integral value columns are canonicalized to LongType before hashing
+(agg.jvm_hash_expr) so Python-side probes (cm_query / bloom_contains), which
+cannot see the SQL type, hash in the same domain.
 """
 
 from __future__ import annotations
@@ -44,8 +48,9 @@ def countmin_jvm(
     """DataFrame[by..., sketch] of CountMin sketches, hot path fully JVM."""
     by = list(by or [])
     spark = df.sparkSession
-    h = F.when(F.col(value_col).isNull(), None).otherwise(F.xxhash64(value_col))
-    hdf = df.select(*by, h.alias("__h")).filter(F.col("__h").isNotNull())
+    from ..agg import jvm_hash_expr
+
+    hdf = df.select(*by, jvm_hash_expr(df, value_col).alias("__h")).filter(F.col("__h").isNotNull())
     pos = _positions_exprs(F.col("__h"), depth, width)
     cells = hdf.select(
         *by, F.explode(F.array(*[F.struct(F.lit(j).alias("j"), p.alias("bucket")) for j, p in enumerate(pos)])).alias("c")
@@ -83,8 +88,9 @@ def bloom_jvm(
     count here, matching the python builder fed the same rows at once."""
     by = list(by or [])
     spark = df.sparkSession
-    h = F.when(F.col(value_col).isNull(), None).otherwise(F.xxhash64(value_col))
-    hdf = df.select(*by, h.alias("__h")).filter(F.col("__h").isNotNull())
+    from ..agg import jvm_hash_expr
+
+    hdf = df.select(*by, jvm_hash_expr(df, value_col).alias("__h")).filter(F.col("__h").isNotNull())
     pos = _positions_exprs(F.col("__h"), k, m_bits)
     bits = (
         hdf.select(*by, F.explode(F.array(*pos)).alias("__bit"))

@@ -21,7 +21,10 @@ def test_jvm_expressions_bit_exact(spark):
 
 
 def _bytes_by_key(df, by):
-    return {tuple(r[c] for c in by): bytes(r["sketch"]) for r in df.collect()}
+    return {
+        tuple(r[c] for c in by): None if r["sketch"] is None else bytes(r["sketch"])
+        for r in df.collect()
+    }
 
 
 def test_jvm_engine_byte_parity_strings(spark):
@@ -51,7 +54,8 @@ def test_jvm_engine_sparse_keys_and_nulls(spark):
     from hllspark.core.hll import HLL
 
     assert HLL.from_bytes(jvm[(0,)]).is_sparse  # 10 distinct → sparse
-    assert HLL.from_bytes(jvm[(9,)]).estimate() == 0.0  # all-null group present, empty
+    # all-NULL group: key present, sketch is SQL NULL (reference NULL contract)
+    assert (9,) in jvm and jvm[(9,)] is None
 
 
 def test_jvm_engine_sparse_dense_boundary(spark):
@@ -128,3 +132,65 @@ def test_distributed_assembly_byte_parity(spark, sf01_dir):
     a = _bytes_by_key(agg.sketch_jvm(o, "o_orderkey", by=["o_custkey"]), ["o_custkey"])
     b = _bytes_by_key(agg.sketch_jvm_distributed(o, "o_orderkey", by=["o_custkey"]), ["o_custkey"])
     assert a == b and len(a) > 500
+
+
+def test_null_group_keys_all_engines(spark):
+    """NULL group KEYS (not just NULL values) are real SQL groups: every
+    engine must keep them and produce byte-identical sketches.  Covers both
+    a NULL string key and a NULL int key (pandas degrades nullable int64 to
+    float64 — the assembly must round-trip the key exactly)."""
+    rows = (
+        [(None, f"u{i}") for i in range(300)]
+        + [("en", f"v{i % 50}") for i in range(200)]
+        + [("de", None)] * 4  # all-NULL-value group too
+    )
+    df = spark.createDataFrame(rows, "lang string, url string")
+    py = _bytes_by_key(agg.sketch(df, "url", by=["lang"], engine="python", jvm_prehash=True), ["lang"])
+    jd = _bytes_by_key(agg.sketch_jvm(df, "url", by=["lang"]), ["lang"])
+    dd = _bytes_by_key(agg.sketch_jvm_distributed(df, "url", by=["lang"]), ["lang"])
+    assert set(py) == {(None,), ("en",), ("de",)}
+    assert py == jd == dd
+    assert py[("de",)] is None and py[(None,)] is not None
+
+    # NULL int64 key
+    rows2 = [(None, i) for i in range(100)] + [(7, i) for i in range(2000)]
+    df2 = spark.createDataFrame(rows2, "g long, v long")
+    py2 = _bytes_by_key(agg.sketch(df2, "v", by=["g"], engine="python", jvm_prehash=True), ["g"])
+    jd2 = _bytes_by_key(agg.sketch_jvm(df2, "v", by=["g"]), ["g"])
+    dd2 = _bytes_by_key(agg.sketch_jvm_distributed(df2, "v", by=["g"]), ["g"])
+    assert set(py2) == {(None,), (7,)}
+    assert py2 == jd2 == dd2
+
+
+def test_grouped_distinct_null_semantics(spark):
+    """distinct(): all-NULL group → est NULL (double) / 0 (bigint) — the
+    hyperloglog_get_estimate vs get_estimate_bigint contract."""
+    df = spark.createDataFrame([(1, None), (1, None), (2, "x"), (2, "y")], "g int, v string")
+    est = {r["g"]: r["est"] for r in agg.distinct(df, "v", by=["g"]).collect()}
+    assert est[1] is None and est[2] is not None and est[2] > 0
+    big = {r["g"]: r["est"] for r in agg.distinct(df, "v", by=["g"], bigint=True).collect()}
+    assert big == {1: 0, 2: 2}
+
+
+def test_integer_type_probes(spark):
+    """JVM builders canonicalize IntegerType → LongType before xxhash64, so
+    Python-side probes (which can't see the SQL type) agree.  Regression for
+    the int-dtype dispatch bug: bloom_contains was False for every inserted
+    value of an int column."""
+    from hllspark.functions import register_sql
+    from hllspark.sketches.jvm import bloom_jvm, countmin_jvm
+
+    register_sql(spark)
+    df = spark.createDataFrame([(i % 100,) for i in range(1000)], "v int")
+    bf = bloom_jvm(df, "v", m_bits=1 << 16, k=5)
+    bf.createOrReplaceTempView("bf_int")
+    got = spark.sql(
+        "SELECT bloom_contains(sketch, CAST(50 AS INT)) AS p50, "
+        "bloom_contains(sketch, CAST(12345 AS INT)) AS absent FROM bf_int"
+    ).first()
+    assert got["p50"] is True and got["absent"] is False
+
+    cm = countmin_jvm(df, "v", width=1024, depth=4)
+    cm.createOrReplaceTempView("cm_int")
+    got = spark.sql("SELECT cm_query(sketch, CAST(50 AS INT)) AS c FROM cm_int").first()
+    assert got["c"] == 10  # exact at this width (overestimates only)
