@@ -51,3 +51,47 @@ def test_base64_text_cast_roundtrip(spark):
     t = txt.first()["t"]
     h = HLL.from_bytes(base64.b64decode(t))
     assert round(h.estimate()) == 1000
+
+
+def test_legacy_v0_v1_reference_blobs():
+    """hyperloglog_update parity: decode the reference's OWN v0/v1 hex
+    fixtures (test/sql/update.sql:5-29) and reproduce every update.ref
+    estimate to 10 decimals — PGLZ dense, bit-packed dense, raw sparse."""
+    import re
+    from pathlib import Path
+
+    import pytest
+
+    from hllspark.core.hll import HLL
+    from hllspark.core.legacy import upgrade_bytes
+
+    src = Path("/root/reference/test/sql/update.sql")
+    if not src.exists():
+        pytest.skip("reference fixtures not available")
+    blobs = [bytes.fromhex(m) for m in re.findall(r"decode\(E'([0-9a-f]+)'", src.read_text())]
+    assert len(blobs) == 5
+    golden = [9998.4010348519, 9998.4010348519, 4.0000002384, 9998.4010348519, 9998.4010348519]
+    for blob, g in zip(blobs, golden):
+        upgraded = upgrade_bytes(blob)
+        assert abs(HLL.from_bytes(upgraded).estimate() - g) < 5e-11
+        # idempotent: upgrading an already-current blob is a no-op
+        assert upgrade_bytes(upgraded) == upgraded
+
+
+def test_hll_update_sql_surface(spark):
+    import re
+    from pathlib import Path
+
+    import pytest
+
+    from hllspark.functions import register_sql
+
+    src = Path("/root/reference/test/sql/update.sql")
+    if not src.exists():
+        pytest.skip("reference fixtures not available")
+    register_sql(spark)
+    blobs = [bytes.fromhex(m) for m in re.findall(r"decode\(E'([0-9a-f]+)'", src.read_text())]
+    df = spark.createDataFrame([(b,) for b in blobs], "legacy binary")
+    rows = spark.sql("SELECT hll_estimate(hll_update(legacy)) AS e FROM {df}", df=df).collect()
+    got = sorted(round(r["e"], 10) for r in rows)
+    assert got == [4.0000002384] + [9998.4010348519] * 4
