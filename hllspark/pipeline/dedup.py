@@ -131,17 +131,55 @@ def minhash_signatures(
 # ---------------------------------------------------------------------------
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id", bands: int = 16) -> DataFrame:
-    """Band the signature, bucket-join: pairs sharing any band bucket.
+def _pairs_from_lists(buckets: DataFrame, list_col: str = "ids") -> DataFrame:
+    """array<id> per bucket → ordered candidate pairs (a < b)."""
+    return (
+        buckets.select(F.explode(list_col).alias("a"), F.col(list_col))
+        .select("a", F.explode(list_col).alias("b_"))
+        .filter(F.col("a") < F.col("b_"))
+        .select("a", F.col("b_").alias("b"))
+    )
 
-    With k slots and b bands (r = k/b rows per band), a pair with signature
-    agreement s collides with probability 1-(1-s^r)^b — the standard LSH
-    S-curve.  Entirely JVM-side (xxhash64 over array slices, groupBy,
-    size-bounded pair explosion)."""
-    k = None  # derived lazily from bands expression
+
+def _split_oversized(big: DataFrame, bucket_cols: list[str], max_bucket: int, id_expr="id") -> DataFrame:
+    """Salt-split oversized buckets into ≤~max_bucket sub-buckets by a
+    secondary hash of the member id, emitting
+
+      - all pairs WITHIN each sub-bucket (bounded quadratic cost), and
+      - a chain of pairs between consecutive sub-bucket representatives,
+
+    so a mega-cluster (crawl boilerplate: every member shares the band hash)
+    stays CONNECTED for connected-components dedup at O(n·max_bucket) cost
+    instead of O(n²).  The pair *list* for an oversized bucket is therefore a
+    connected subset, not the complete quadratic set — by design; use
+    lsh_bucket_stats to monitor how many buckets were split."""
+    members = big.select(
+        *bucket_cols,
+        F.ceil(F.size("ids") / max_bucket).cast("int").alias("__nsb"),
+        F.explode("ids").alias("id"),
+    ).withColumn("__sb", F.pmod(F.xxhash64(id_expr), F.col("__nsb")))
+    sub = members.groupBy(*bucket_cols, "__sb").agg(F.collect_list("id").alias("ids"))
+    within = _pairs_from_lists(sub)
+    reps = sub.groupBy(*bucket_cols).agg(F.sort_array(F.collect_list(F.array_min("ids"))).alias("reps"))
+    chain = (
+        reps.filter(F.size("reps") > 1)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("reps", 1, F.size("reps") - 1),
+                    F.slice("reps", 2, F.size("reps") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    return within.unionByName(chain)
+
+
+def _band_explode(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
     sig = F.col("sig")
-    band_structs = []
-    # r is computed from the actual array size at runtime
+    # r (rows per band) is computed from the actual array size at runtime
     band_structs = [
         F.struct(
             F.lit(j).alias("band"),
@@ -151,21 +189,46 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id", bands: int = 
         )
         for j in range(bands)
     ]
-    exploded = sig_df.select(id_col, F.explode(F.array(*band_structs)).alias("b")).select(
+    return sig_df.select(id_col, F.explode(F.array(*band_structs)).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 16, max_bucket: int = 1000
+) -> DataFrame:
+    """Band the signature, bucket-join: pairs sharing any band bucket.
+
+    With k slots and b bands (r = k/b rows per band), a pair with signature
+    agreement s collides with probability 1-(1-s^r)^b — the standard LSH
+    S-curve.  Entirely JVM-side (xxhash64 over array slices, groupBy,
+    size-bounded pair explosion).
+
+    Buckets above ``max_bucket`` members (boilerplate mega-clusters at crawl
+    scale) are NOT dropped: they are salt-split into bounded sub-buckets with
+    chain edges preserving connectivity (see _split_oversized)."""
+    exploded = _band_explode(sig_df, id_col, bands)
     buckets = (
         exploded.groupBy("band", "bh")
         .agg(F.collect_list(id_col).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= 1000))  # guard degenerate buckets
+        .filter(F.size("ids") > 1)
     )
-    pairs = (
-        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
-        .select("a", F.explode("ids").alias("b_"))
-        .filter(F.col("a") < F.col("b_"))
-        .distinct()
+    small = _pairs_from_lists(buckets.filter(F.size("ids") <= max_bucket))
+    big = _split_oversized(buckets.filter(F.size("ids") > max_bucket), ["band", "bh"], max_bucket)
+    return small.unionByName(big).distinct()
+
+
+def lsh_bucket_stats(sig_df: DataFrame, id_col: str = "doc_id", bands: int = 16, max_bucket: int = 1000) -> DataFrame:
+    """Monitoring companion to lsh_candidate_pairs: one row of bucket-size
+    metrics, including how many buckets exceeded max_bucket (those are
+    salt-split, so their pair lists are connected subsets, not exhaustive)."""
+    sizes = _band_explode(sig_df, id_col, bands).groupBy("band", "bh").agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_candidate_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("n_oversized_split"),
+        F.max("n").alias("max_bucket_size"),
     )
-    return pairs.withColumnRenamed("b_", "b")
 
 
 def verified_pairs(
@@ -176,6 +239,7 @@ def verified_pairs(
     ngram: int = 12,
     bands: int = 16,
     threshold: float = 0.7,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with estimated Jaccard ≥ threshold.
 
@@ -185,7 +249,7 @@ def verified_pairs(
     # pair would otherwise report J=1.0 (e.g. NULL text vs empty string)
     df = df.filter(F.length(F.coalesce(F.col(text_col), F.lit(""))) >= ngram)
     sig_df = minhash_signatures(df, id_col, text_col, k=k, ngram=ngram).cache()
-    cand = lsh_candidate_pairs(sig_df, id_col, bands=bands)
+    cand = lsh_candidate_pairs(sig_df, id_col, bands=bands, max_bucket=max_bucket)
     sa = sig_df.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     sb = sig_df.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
     joined = cand.join(sa, "a").join(sb, "b")
@@ -208,7 +272,10 @@ def dedup_near(
     pairs = verified_pairs(df, id_col, text_col, threshold=threshold, **kw).select("a", "b").cache()
     # label[x] = min id reachable; init label = min(neighbor ids, self)
     edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = edges.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("lbl"))
+    # localCheckpoint per round: the iterative joins would otherwise build an
+    # O(2^rounds) lineage that at scale stalls planning and recovery; the
+    # label table (only docs appearing in a pair) is small relative to df
+    labels = edges.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("lbl")).localCheckpoint()
     for _ in range(max_iter):
         prop = (
             edges.join(labels.withColumnRenamed("a", "b").withColumnRenamed("lbl", "nl"), "b")
@@ -218,6 +285,7 @@ def dedup_near(
         new_labels = (
             labels.join(prop, "a", "left")
             .select("a", F.least("lbl", F.coalesce("nl", "lbl")).alias("lbl"))
+            .localCheckpoint()  # eager: also materializes for the convergence check
         )
         changed = new_labels.alias("n").join(labels.alias("o"), "a").filter(F.col("n.lbl") != F.col("o.lbl")).count()
         labels = new_labels
@@ -265,10 +333,17 @@ def simhash_signatures(
     )
 
 
-def simhash_near_pairs(sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, max_bucket: int = 1000
+) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole banding:
     split 64 bits into max_hamming+1 chunks — any close pair matches exactly
-    on ≥1 chunk.  Verification = bit_count(xor), JVM-side."""
+    on ≥1 chunk.  Verification = bit_count(xor), JVM-side.
+
+    Hot chunk values (near-empty docs cluster their simhashes around 0) would
+    make a naive self-join quadratic: buckets are materialized as member
+    lists, and buckets above ``max_bucket`` are salt-split with connectivity
+    chains, exactly like the MinHash-LSH side."""
     nchunks = max_hamming + 1
     width = 64 // nchunks
     sh = F.col("simhash")
@@ -277,10 +352,44 @@ def simhash_near_pairs(sim_df: DataFrame, id_col: str = "doc_id", max_hamming: i
         for j in range(nchunks)
     ]
     exploded = sim_df.select(id_col, "simhash", F.explode(F.array(*chunks)).alias("c")).select(
-        id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ch").alias("ch")
+        F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")).alias("m"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.ch").alias("ch"),
     )
-    a = exploded.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "chunk", "ch")
-    b = exploded.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "chunk", "ch")
-    cand = a.join(b, ["chunk", "ch"]).filter(F.col("a") < F.col("b"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
-    return cand.select("a", "b", ham).filter(F.col("hamming") <= max_hamming).distinct()
+    buckets = exploded.groupBy("chunk", "ch").agg(F.collect_list("m").alias("ms")).filter(F.size("ms") > 1)
+
+    def expand(bdf: DataFrame) -> DataFrame:
+        return (
+            bdf.select(F.explode("ms").alias("x"), "ms")
+            .select("x", F.explode("ms").alias("y"))
+            .filter(F.col("x.i") < F.col("y.i"))
+            .select("x", "y")
+        )
+
+    small = expand(buckets.filter(F.size("ms") <= max_bucket))
+    members = (
+        buckets.filter(F.size("ms") > max_bucket)
+        .select("chunk", "ch", F.ceil(F.size("ms") / max_bucket).cast("int").alias("__nsb"), F.explode("ms").alias("m"))
+        .withColumn("__sb", F.pmod(F.xxhash64("m.i"), F.col("__nsb")))
+    )
+    sub = members.groupBy("chunk", "ch", "__sb").agg(F.collect_list("m").alias("ms"))
+    within = expand(sub)
+    reps = sub.groupBy("chunk", "ch").agg(F.sort_array(F.collect_list(F.array_min("ms"))).alias("reps"))
+    chain = (
+        reps.filter(F.size("reps") > 1)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("reps", 1, F.size("reps") - 1),
+                    F.slice("reps", 2, F.size("reps") - 1),
+                    lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    )
+    cand = small.unionByName(within).unionByName(chain)
+    ham = F.bit_count(F.col("x.s").bitwiseXOR(F.col("y.s"))).alias("hamming")
+    return cand.select(F.col("x.i").alias("a"), F.col("y.i").alias("b"), ham).filter(
+        F.col("hamming") <= max_hamming
+    ).distinct()

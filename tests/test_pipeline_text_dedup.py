@@ -139,3 +139,53 @@ def test_simhash_near_pairs(spark, spiked):
     for a, b in got:
         if a < 100_000 and b < 100_000:
             assert _exact_jaccard(texts[a], texts[b]) >= 0.5, (a, b)
+
+
+def test_mega_cluster_split_keeps_connectivity(spark):
+    """Oversized LSH/SimHash buckets (crawl boilerplate mega-clusters) are
+    salt-split, NOT dropped: a 500-member exact-duplicate cluster must stay
+    one connected component at max_bucket=50, and dedup keeps exactly one."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [(i, boiler) for i in range(500)] + [
+        (1000 + i, f"unique document number {i} speaking about topic {i * 17} " * 5) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # the split path is exercised: stats show oversized buckets
+    sig = dedup.minhash_signatures(df, "doc_id", "text", k=128)
+    stats = dedup.lsh_bucket_stats(sig, "doc_id", bands=16, max_bucket=50).first()
+    assert stats["n_oversized_split"] >= 1 and stats["max_bucket_size"] >= 500
+
+    # connectivity through chains: union-find over the emitted pairs
+    pairs = dedup.verified_pairs(df, "doc_id", "text", bands=16, threshold=0.9, max_bucket=50)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    got = [(r["a"], r["b"]) for r in pairs.collect()]
+    for a, b in got:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    cluster_roots = {find(i) for i in range(500)}
+    assert len(cluster_roots) == 1, f"cluster fragmented into {len(cluster_roots)} components"
+
+    kept = dedup.dedup_near(df, "doc_id", "text", threshold=0.9, max_bucket=50)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in kept_ids and len(kept_ids & set(range(500))) == 1
+    assert all(1000 + i in kept_ids for i in range(20))
+
+    # SimHash side: identical docs share identical simhashes (hot buckets)
+    sim = dedup.simhash_signatures(df, "doc_id", "text")
+    spairs = dedup.simhash_near_pairs(sim, "doc_id", max_hamming=3, max_bucket=50)
+    parent.clear()
+    for a, b in [(r["a"], r["b"]) for r in spairs.collect()]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    assert len({find(i) for i in range(500)}) == 1
