@@ -48,6 +48,26 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _read_text(spark: SparkSession, path: str) -> str | None:
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        return str(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 class CheckpointedSketch:
     """Checkpoint-resumable distinct-count aggregation over a parquet table.
 
@@ -84,11 +104,38 @@ class CheckpointedSketch:
     # -- epoch planning ------------------------------------------------------
 
     def epoch_files(self) -> list[list[str]]:
+        """Epoch → file chunks, pinned by a persisted manifest.
+
+        The chunking is striped over the CURRENT file listing only on first
+        run; after that the manifest is authoritative.  Without it, files
+        added (or removed) between runs would re-stripe into epochs already
+        marked done and silently never be processed — resume must fail
+        loudly on input drift instead (delete the checkpoint dir, or point
+        at a fresh one, to re-plan)."""
+        import json
+
         files = sorted(self.spark.read.parquet(self.input_path).inputFiles())
         if not files:
             raise ValueError(f"no input files under {self.input_path}")
+        manifest_path = f"{self.checkpoint_dir}/manifest.json"
+        raw = _read_text(self.spark, manifest_path)
+        if raw is not None:
+            man = json.loads(raw)
+            if man["files"] != files:
+                added = sorted(set(files) - set(man["files"]))
+                removed = sorted(set(man["files"]) - set(files))
+                raise ValueError(
+                    f"input file set under {self.input_path} changed since this "
+                    f"checkpoint was planned ({len(added)} added, {len(removed)} "
+                    f"removed): epochs marked done would no longer cover their "
+                    f"original chunks. Use a fresh checkpoint_dir (or delete "
+                    f"{manifest_path} AND the partials) to re-plan."
+                )
+            return man["chunks"]
         n = min(self.n_epochs, len(files))
-        return [files[i::n] for i in range(n)]
+        chunks = [files[i::n] for i in range(n)]
+        _write_text(self.spark, manifest_path, json.dumps({"files": files, "chunks": chunks}))
+        return chunks
 
     def _epoch_dir(self, i: int) -> str:
         return f"{self.checkpoint_dir}/partials/epoch={i}"

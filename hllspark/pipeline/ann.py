@@ -164,10 +164,22 @@ def train_ivf_centroids(
     df: DataFrame, dim: int, nlist: int = 16, sample: int = 10_000, iters: int = 10,
     seed: int = 42, vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Lloyd k-means on a driver-side sample → (nlist, dim) float32 centroids."""
-    rows = df.select(vec_col).limit(sample).collect()
-    m = _normalize(np.array([r[0] for r in rows], dtype=np.float32))
+    """Lloyd k-means on a driver-side sample → (nlist, dim) float32 centroids.
+
+    The sample is UNBIASED: Bernoulli row sampling across all partitions
+    (``df.sample``), trimmed to ``sample`` rows with a seeded numpy choice.
+    A ``limit(sample)`` would read only the first partitions — at crawl
+    scale those are correlated (by crawl time / shard), skewing centroids."""
     rng = np.random.RandomState(seed)
+    n = df.count()
+    if n <= sample:
+        rows = df.select(vec_col).collect()
+    else:
+        frac = min(1.0, 1.5 * sample / n)
+        rows = df.select(vec_col).sample(withReplacement=False, fraction=frac, seed=seed).collect()
+    m = _normalize(np.array([r[0] for r in rows], dtype=np.float32))
+    if len(m) > sample:
+        m = m[rng.choice(len(m), size=sample, replace=False)]
     cent = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)].copy()
     for _ in range(iters):
         assign = (m @ cent.T).argmax(axis=1)

@@ -79,3 +79,28 @@ def test_sketch_table_roundtrip_and_reagg(spark, pages_path, tmp_path):
 
     exact = expected_distinct_urls(100_000, 3)
     assert abs(est - exact) / exact < 3 * (1.04 / (2**14) ** 0.5)
+
+
+def test_manifest_pins_epochs_and_rejects_input_drift(spark, pages_path, tmp_path):
+    """Epoch chunks are striped once and pinned by a persisted manifest; if
+    the input file set changes between runs, resume must fail loudly instead
+    of silently striping new files into epochs already marked done."""
+    import shutil
+    from pathlib import Path
+
+    inp = tmp_path / "drifting_input"
+    shutil.copytree(pages_path, inp)
+    ck = CheckpointedSketch(spark, str(inp), "url", checkpoint_dir=str(tmp_path / "ck3"), n_epochs=2)
+    chunks_before = ck.epoch_files()
+    ck.process_pending(limit=1)
+
+    # same file set → same (manifested) chunks
+    assert ck.epoch_files() == chunks_before
+
+    # drift: a new parquet file lands in the input directory
+    src = next(p for p in Path(inp).glob("*.parquet"))
+    shutil.copy(src, inp / "part-late-arrival.parquet")
+    with pytest.raises(ValueError, match="changed since this checkpoint was planned"):
+        ck.epoch_files()
+    with pytest.raises(ValueError):
+        ck.run()
