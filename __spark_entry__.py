@@ -420,6 +420,30 @@ def q_lang_id_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("id", text.lang_id(F.col("t")).alias("pred")).orderBy("id")
 
 
+def q_null_group_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference NULL contract (hyperloglog_counter.c:511-513): a group whose
+    every value is NULL estimates SQL NULL (not 0 / not an empty sketch)."""
+    from hllspark import agg
+
+    o = _read(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderpriority") == "1-URGENT", None).otherwise(F.col("o_custkey")).alias("v"),
+    )
+    est = agg.distinct(df, "v", by=["o_orderpriority"])
+    exact = df.groupBy("o_orderpriority").agg(F.countDistinct("v").alias("exact_cnt"))
+    j = est.join(exact, "o_orderpriority")
+    ok = F.col("est").isNull() | (
+        F.abs(F.col("est") - F.col("exact_cnt")) <= F.lit(MARGIN * BOUND_B14) * F.col("exact_cnt")
+    )
+    return j.select(
+        "o_orderpriority",
+        "exact_cnt",
+        F.col("est").isNull().alias("est_is_null"),
+        ok.alias("within_bound"),
+    ).orderBy("o_orderpriority")
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-codec decode + feature extract through the real Arrow plumbing,
     reduced to order-independent scalar aggregates (per-image values are
@@ -478,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "lang_id_samples": q_lang_id_samples,
+        "null_group_semantics": q_null_group_semantics,
         "multimodal_image_features": q_multimodal_image_features,
     }
 
@@ -571,6 +596,13 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_samples": (
             "SELECT * FROM (VALUES (1, 'en'), (2, 'es'), (3, 'de'), (4, 'fr'), "
             "(5, 'ru'), (6, 'zh'), (7, 'ja')) AS t(id, pred) ORDER BY id"
+        ),
+        "null_group_semantics": (
+            "WITH t AS (SELECT o_orderpriority, CASE WHEN o_orderpriority = '1-URGENT' "
+            "THEN NULL ELSE o_custkey END AS v FROM orders) "
+            "SELECT o_orderpriority, count(DISTINCT v) AS exact_cnt, "
+            "(count(v) = 0) AS est_is_null, TRUE AS within_bound "
+            "FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         # deterministic FakeCodec literals (numpy RandomState is platform-
         # stable; per-image micro-rounding before the sum makes the values
