@@ -584,7 +584,9 @@ def salted_repartition(df: DataFrame, keys: Sequence[str], num_partitions: int, 
 
 def _bitlen_case(x, maxbits: int):
     """Exact bit length of a small (< 2^maxbits) non-negative value as a
-    CASE cascade — pure integer comparisons, whole-stage-codegen friendly."""
+    CASE cascade — pure integer comparisons, whole-stage-codegen friendly.
+    Tests descend from the high bit, so for uniform inputs the expected
+    number of comparisons is ~2 (geometric distribution)."""
     expr = F.lit(0)
     for k in range(1, maxbits + 1):
         expr = F.when(x >= (1 << (k - 1)), k).otherwise(expr)
@@ -595,8 +597,13 @@ def _with_jvm_kernels(df: DataFrame, hcol: str, b: int, binbits: int) -> DataFra
     """Append bit-exact HLL kernel columns (__idx, __rho, __enc, __chain)
     computed from a 64-bit hash column entirely with integer Catalyst ops:
 
-    - clz of the suffix via a staged shift cascade (exact; no float log, no
-      bin()-string allocation per row)
+    - clz64 of the p'-suffix as 64 − popcount after OR-propagating the
+      leading bit right (6 shift|or steps, then one bit_count).  The steps
+      are expressed as LATERAL column aliases in a single selectExpr:
+      linear-size generated code (JIT-friendly, unlike a 64-branch CASE
+      whose bytecode exceeds HotSpot's JIT limits) with no exponential
+      subtree duplication (unlike inlining) and no 12-deep withColumn
+      chain (whose nested-Project analysis cost ~1s of driver time/query).
     - dense rho recovered losslessly from the p'-prefix structure:
       if any of bits [b, p') is set, rho = (p'-b) - bitlen(prefix&mask) + 1,
       else rho = (p'-b) + rho_p (encode_hash decode identity, SURVEY §2.6)
@@ -608,28 +615,31 @@ def _with_jvm_kernels(df: DataFrame, hcol: str, b: int, binbits: int) -> DataFra
     mask = (1 << (pprime - b)) - 1
     h = F.col(hcol)
 
-    out = df.withColumn("__x", F.shiftleft(h, pprime)).withColumn("__c", F.lit(0))
-    # clz64(__x) cascade: 6 staged halvings, all integer ops
-    for s in (32, 16, 8, 4, 2, 1):
-        top_zero = F.shiftrightunsigned(F.col("__x"), 64 - s) == 0
-        out = out.withColumn(
-            "__c", F.when(top_zero, F.col("__c") + s).otherwise(F.col("__c"))
-        ).withColumn("__x", F.when(top_zero, F.shiftleft(F.col("__x"), s)).otherwise(F.col("__x")))
-
+    out = df.selectExpr(
+        "*",
+        f"shiftleft({hcol}, {pprime}) AS __y0",
+        "__y0 | shiftrightunsigned(__y0, 1) AS __y1",
+        "__y1 | shiftrightunsigned(__y1, 2) AS __y2",
+        "__y2 | shiftrightunsigned(__y2, 4) AS __y3",
+        "__y3 | shiftrightunsigned(__y3, 8) AS __y4",
+        "__y4 | shiftrightunsigned(__y4, 16) AS __y5",
+        "__y5 | shiftrightunsigned(__y5, 32) AS __y6",
+    )
+    y = F.col("__y6")  # popcount(y) == bitlen(suffix); y == 0 ⟺ suffix == 0
     idx_p = F.shiftrightunsigned(h, 64 - pprime)
     prefix_bits = idx_p.bitwiseAND(F.lit(mask))
-    sh_p_zero = F.shiftleft(h, pprime) == 0
-    rho_p = F.when(sh_p_zero, F.lit(64)).otherwise(F.col("__c") + 1)
+    rho_p = F.when(y == 0, F.lit(64)).otherwise(F.lit(65) - F.bit_count(y))
     enc = F.when(prefix_bits != 0, idx_p * 2).otherwise((idx_p * (1 << binbits) + rho_p) * 2 + 1)
     rho = F.when(
         prefix_bits != 0, F.lit(pprime - b + 1) - _bitlen_case(prefix_bits, pprime - b)
     ).otherwise(F.lit(pprime - b) + rho_p)
-    return (
-        out.withColumn("__idx", F.shiftrightunsigned(h, 64 - b))
-        .withColumn("__rho", rho)
-        .withColumn("__enc", enc)
-        .withColumn("__chain", sh_p_zero)
-        .drop("__x", "__c")
+    keep = [c for c in df.columns]
+    return out.select(
+        *keep,
+        F.shiftrightunsigned(h, 64 - b).alias("__idx"),
+        rho.alias("__rho"),
+        enc.alias("__enc"),
+        (y == 0).alias("__chain"),
     )
 
 
