@@ -1,13 +1,15 @@
 """JVM-native builders for count-min and Bloom: like agg.sketch_jvm, the
 entire reduction runs as whole-stage-codegen Catalyst aggregates — Python
-only assembles the final ≤ d×w (or m/8-byte) state per key.
+only assembles the final ≤ d×w (or m-bit) state per key.
 
 count-min:  xxhash64 → explode depth rows → pmod(h1 + j*h2, width)
             → groupBy(key, j, bucket).count()        [≤ d×w rows/key shuffle]
-bloom:      same positions → DISTINCT (key, j, bit)  [≤ k×m' rows/key]
+bloom:      same positions → groupBy(key, bit).count() [≤ m rows/key]
 
-Both produce byte-identical sketches to the python engine with
-jvm_prehash=True (hash_kind=HASH_XXHASH_SPARK) — tested in
+Grouped builds assemble DISTRIBUTED (applyInPandas per key → unbounded
+group-key cardinality); the global build assembles its single bounded state
+on the driver.  Both produce byte-identical sketches to the python engine
+with jvm_prehash=True (hash_kind=HASH_XXHASH_SPARK) — tested in
 tests/test_jvm_engine.py — because the double-hash arithmetic
 (h1 + j*h2 with h1, h2 < 2^32) never wraps in a signed 64-bit long.
 
@@ -21,6 +23,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StructField, StructType
@@ -38,6 +41,27 @@ def _positions_exprs(hcol, n_rows: int, modulo: int):
     return [F.pmod(h1 + F.lit(j) * h2, F.lit(modulo)) for j in range(n_rows)]
 
 
+def _keyrow(pdf: pd.DataFrame, by: Sequence[str]) -> dict:
+    """First row's key values, NaN/NaT (pandas' degraded NULLs) → None."""
+    out = {}
+    for c in by:
+        v = pdf[c].iloc[0]
+        out[c] = [None if v is None or v != v else v]
+    return out
+
+
+def _hashed(df: DataFrame, value_col: str, by: Sequence[str]) -> DataFrame:
+    from ..agg import jvm_hash_expr
+
+    return df.select(*by, jvm_hash_expr(df, value_col).alias("__h")).filter(F.col("__h").isNotNull())
+
+
+def _out_schema(df: DataFrame, by: Sequence[str]) -> StructType:
+    from ..agg import _nullable_key_fields
+
+    return StructType(_nullable_key_fields(df, by) + [StructField("sketch", BinaryType(), True)])
+
+
 def countmin_jvm(
     df: DataFrame,
     value_col: str,
@@ -48,31 +72,31 @@ def countmin_jvm(
     """DataFrame[by..., sketch] of CountMin sketches, hot path fully JVM."""
     by = list(by or [])
     spark = df.sparkSession
-    from ..agg import jvm_hash_expr
-
-    hdf = df.select(*by, jvm_hash_expr(df, value_col).alias("__h")).filter(F.col("__h").isNotNull())
+    hdf = _hashed(df, value_col, by)
     pos = _positions_exprs(F.col("__h"), depth, width)
     cells = hdf.select(
         *by, F.explode(F.array(*[F.struct(F.lit(j).alias("j"), p.alias("bucket")) for j, p in enumerate(pos)])).alias("c")
     ).select(*by, F.col("c.j").alias("__j"), F.col("c.bucket").alias("__b"))
-    counted = cells.groupBy(*by, "__j", "__b").count().toArrow().to_pandas()
+    counted = cells.groupBy(*by, "__j", "__b").agg(F.count("*").alias("__n"))
 
-    per_key: dict = {}
-    keys_iter = zip(*(counted[c] for c in by)) if by else ((),) * len(counted)
-    for k, j, bkt, cnt in zip(keys_iter, counted["__j"], counted["__b"], counted["count"]):
-        k = tuple(k) if by else ()
-        st = per_key.get(k)
-        if st is None:
-            st = per_key[k] = CountMin.create(width=width, depth=depth, hash_kind=HASH_XXHASH_SPARK)
-        st.counts[int(j), int(bkt)] += np.uint64(cnt)
-        if int(j) == 0:
-            st.total += int(cnt)
-    if not by and not per_key:
-        per_key[()] = CountMin.create(width=width, depth=depth, hash_kind=HASH_XXHASH_SPARK)
+    def fill(st: CountMin, j: np.ndarray, b: np.ndarray, n: np.ndarray) -> None:
+        st.counts[j, b] = n.astype(np.uint64)  # (j, b) unique after groupBy
+        st.total = int(n[j == 0].sum())  # every row lands exactly one j=0 cell
 
-    schema = StructType([df.schema[c] for c in by] + [StructField("sketch", BinaryType(), True)])
-    rows = [(*k, sk.to_bytes()) for k, sk in sorted(per_key.items(), key=lambda kv: tuple(str(x) for x in kv[0]))]
-    return spark.createDataFrame(rows, schema)
+    if not by:
+        # global: the state is bounded (≤ d×w rows) — assemble on the driver
+        pdf = counted.toArrow().to_pandas()
+        st = CountMin.create(width=width, depth=depth, hash_kind=HASH_XXHASH_SPARK)
+        if len(pdf):
+            fill(st, pdf["__j"].to_numpy(np.int64), pdf["__b"].to_numpy(np.int64), pdf["__n"].to_numpy(np.int64))
+        return spark.createDataFrame([(st.to_bytes(),)], _out_schema(df, []))
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = CountMin.create(width=width, depth=depth, hash_kind=HASH_XXHASH_SPARK)
+        fill(st, pdf["__j"].to_numpy(np.int64), pdf["__b"].to_numpy(np.int64), pdf["__n"].to_numpy(np.int64))
+        return pd.DataFrame({**_keyrow(pdf, by), "sketch": [st.to_bytes()]})
+
+    return counted.groupBy(*by).applyInPandas(assemble, schema=_out_schema(df, by))
 
 
 def bloom_jvm(
@@ -84,45 +108,37 @@ def bloom_jvm(
 ) -> DataFrame:
     """DataFrame[by..., sketch] of Bloom filters, hot path fully JVM.
 
-    n_added (an upper-bound diagnostic in merges) is the exact non-null row
-    count here, matching the python builder fed the same rows at once."""
+    Requires power-of-two ``m_bits``: with an odd double-hash stride the k
+    positions of one row are then collision-free mod m, making
+    n_added = sum(bit counts) / k exact without a second aggregate.
+    (Arbitrary m: use the python engine, agg.sketch_generic.)
+    """
+    if m_bits & (m_bits - 1):
+        raise ValueError("bloom_jvm requires power-of-two m_bits; use agg.sketch_generic otherwise")
     by = list(by or [])
     spark = df.sparkSession
-    from ..agg import jvm_hash_expr
-
-    hdf = df.select(*by, jvm_hash_expr(df, value_col).alias("__h")).filter(F.col("__h").isNotNull())
+    hdf = _hashed(df, value_col, by)
     pos = _positions_exprs(F.col("__h"), k, m_bits)
     bits = (
         hdf.select(*by, F.explode(F.array(*pos)).alias("__bit"))
         .groupBy(*by, "__bit")
         .agg(F.count("*").alias("__n"))
-        .toArrow()
-        .to_pandas()
     )
-    n_added = hdf.groupBy(*by).count().toArrow().to_pandas() if by else None
-    total_n = hdf.count() if not by else None
 
-    per_key: dict = {}
-    keys_iter = zip(*(bits[c] for c in by)) if by else ((),) * len(bits)
-    for kk, bit in zip(keys_iter, bits["__bit"]):
-        kk = tuple(kk) if by else ()
-        st = per_key.get(kk)
-        if st is None:
-            st = per_key[kk] = Bloom.create(m_bits=m_bits, k=k, hash_kind=HASH_XXHASH_SPARK)
-        b = int(bit)
-        st.bits[b >> 3] |= np.uint8(1 << (b & 7))
-    if by and n_added is not None:
-        for kk, cnt in zip(zip(*(n_added[c] for c in by)), n_added["count"]):
-            kk = tuple(kk)
-            if kk in per_key:
-                per_key[kk].n_added = int(cnt)
-            else:
-                per_key[kk] = Bloom.create(m_bits=m_bits, k=k, hash_kind=HASH_XXHASH_SPARK)
-    elif not by:
-        if not per_key:
-            per_key[()] = Bloom.create(m_bits=m_bits, k=k, hash_kind=HASH_XXHASH_SPARK)
-        per_key[()].n_added = int(total_n or 0)
+    def fill(bf: Bloom, idx: np.ndarray, n: np.ndarray) -> None:
+        np.bitwise_or.at(bf.bits, idx >> 3, (np.uint8(1) << (idx & 7).astype(np.uint8)))
+        bf.n_added = int(n.sum()) // k
 
-    schema = StructType([df.schema[c] for c in by] + [StructField("sketch", BinaryType(), True)])
-    rows = [(*kk, sk.to_bytes()) for kk, sk in sorted(per_key.items(), key=lambda kv: tuple(str(x) for x in kv[0]))]
-    return spark.createDataFrame(rows, schema)
+    if not by:
+        pdf = bits.toArrow().to_pandas()
+        bf = Bloom.create(m_bits=m_bits, k=k, hash_kind=HASH_XXHASH_SPARK)
+        if len(pdf):
+            fill(bf, pdf["__bit"].to_numpy(np.int64), pdf["__n"].to_numpy(np.int64))
+        return spark.createDataFrame([(bf.to_bytes(),)], _out_schema(df, []))
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        bf = Bloom.create(m_bits=m_bits, k=k, hash_kind=HASH_XXHASH_SPARK)
+        fill(bf, pdf["__bit"].to_numpy(np.int64), pdf["__n"].to_numpy(np.int64))
+        return pd.DataFrame({**_keyrow(pdf, by), "sketch": [bf.to_bytes()]})
+
+    return bits.groupBy(*by).applyInPandas(assemble, schema=_out_schema(df, by))
