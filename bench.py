@@ -36,10 +36,12 @@ def make_spark(cores: int):
         .appName(f"hllspark-bench-{cores}")
         .config("spark.sql.shuffle.partitions", str(max(8, cores)))
         .config("spark.sql.adaptive.enabled", "true")
-        # Python-heavy stages: reserve a core per task for the Python worker,
-        # otherwise JVM task threads + Python workers oversubscribe the box
-        # (measured 3-20× task-time inflation at local[32] without this)
-        .config("spark.task.cpus", "2")
+        # task.cpus=1: since round 2 the default engines keep the hot path
+        # entirely in whole-stage-codegen JVM (no Python workers on the big
+        # scans); the remaining Python stages are tiny per-key assemblies.
+        # (Heavy mapInArrow jobs — engine="python" — still want task.cpus=2
+        # to stop JVM threads + Python workers oversubscribing the box.)
+        .config("spark.task.cpus", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.files.maxPartitionBytes", "16m")
@@ -114,16 +116,20 @@ def headline_queries(spark, pages_path: str):
 
 def stream_bandwidth(procs: int) -> float:
     """Aggregate memory-copy bandwidth (bytes/s) at a given process count —
-    the hardware scaling envelope.  This sandbox VM saturates ~9 GB/s total
-    (per-core ~1.7 GB/s), so ANY data job's parallel efficiency here is
-    bounded by the STREAM curve; normalizing against it shows how much
-    scaling loss is software vs hardware."""
+    the hardware scaling envelope.  ANY data job's parallel efficiency on
+    this single-bus VM is bounded by the STREAM curve; normalizing against
+    it shows how much scaling loss is software vs hardware.  Best of 2
+    rounds: a single noisy window (this VM swings 2-3×) would otherwise
+    poison the normalization."""
     import multiprocessing as mp
 
+    best = 0.0
     ctx = mp.get_context("fork")
-    with ctx.Pool(procs) as pool:
-        rates = pool.map(_stream_worker, range(procs))
-    return sum(rates)
+    for _ in range(2):
+        with ctx.Pool(procs) as pool:
+            rates = pool.map(_stream_worker, range(procs))
+        best = max(best, sum(rates))
+    return best
 
 
 def _stream_worker(_):
@@ -160,12 +166,14 @@ def scaling_run(cores: int, pages_path: str, pages_rows: int) -> float:
 
 
 def main():
-    from hllspark.pipeline.pages import ensure_bench
+    from hllspark.pipeline.pages import ensure_bench, ensure_scale
 
     pages_path = str(ensure_bench(ROOT))
+    scale_path = str(ensure_scale(ROOT))
     import pyarrow.parquet as pq
 
     pages_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in Path(pages_path).glob("*.parquet"))
+    scale_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in Path(scale_path).glob("*.parquet"))
 
     # ---- headline timings at full parallelism ----
     spark = make_spark(CPUS)
@@ -182,24 +190,36 @@ def main():
     spark.stop()
 
     # ---- two-parallelism scaling (N vs 4N cores, same input) ----
-    # Primary pair from env (default 2→8).  This box saturates its shared
-    # memory bus / scheduler around 8-16 busy cores, so the 8→32 point is
-    # also measured and reported as a documented saturation data point.
-    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+    # Primary pair from env (default 8→32, the driver's own N→4N example).
+    # 2 cores is measured as a third point for the curve.  Raw efficiency is
+    # also normalized per-pair against the machine's own STREAM memcpy
+    # scaling: this single-VM sandbox shares one memory bus across all
+    # "executors", which a real N→4N multi-node scale-up does not.
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(min(4 * lo, CPUS))))
-    levels = sorted({lo, hi, CPUS})
+    levels = sorted({lo, hi})
     # interleave two rounds per level and keep the best — this VM's effective
     # CPU/bandwidth swings 2-3x across minutes, which would otherwise skew
     # the lo/hi ratio in either direction
     rps = {c: 0.0 for c in levels}
     for _ in range(2):
         for c in levels:
-            rps[c] = max(rps[c], scaling_run(c, pages_path, pages_rows))
-    efficiency = (rps[hi] / rps[lo]) / (hi / lo)
-    # hardware envelope at the same two levels
+            rps[c] = max(rps[c], scaling_run(c, scale_path, scale_rows))
     bw = {c: stream_bandwidth(c) for c in levels}
-    hw_eff = (bw[hi] / bw[lo]) / (hi / lo)
-    norm_eff = min(1.0, efficiency / hw_eff) if hw_eff > 0 else 0.0
+
+    def pair_stats(a: int, b: int) -> dict:
+        eff = (rps[b] / rps[a]) / (b / a)
+        hw = (bw[b] / bw[a]) / (b / a)
+        return {
+            "cores_lo": a,
+            "cores_hi": b,
+            "efficiency": round(eff, 3),
+            "hardware_stream_efficiency": round(hw, 3),
+            "efficiency_vs_hardware": round(min(1.0, eff / hw) if hw > 0 else 0.0, 3),
+        }
+
+    primary = pair_stats(lo, hi)
+    pairs = [pair_stats(a, b) for a, b in zip(levels, levels[1:])]
 
     result = {
         "metric": "hll distinct-count suite wall time (sf0.1 + pages_bench)",
@@ -208,14 +228,16 @@ def main():
         "queries": timings,
         "sf": float(SF) if SF.replace(".", "").isdigit() else SF,
         "pages_rows": pages_rows,
+        "scale_rows": scale_rows,
         "scaling": {
             "cores_lo": lo,
             "rows_per_sec_lo": round(rps[lo]),
             "cores_hi": hi,
             "rows_per_sec_hi": round(rps[hi]),
-            "efficiency": round(efficiency, 3),
-            "hardware_stream_efficiency": round(hw_eff, 3),
-            "efficiency_vs_hardware": round(norm_eff, 3),
+            "efficiency": primary["efficiency"],
+            "hardware_stream_efficiency": primary["hardware_stream_efficiency"],
+            "efficiency_vs_hardware": primary["efficiency_vs_hardware"],
+            "pairs": pairs,
             "all_levels": {str(c): round(r) for c, r in rps.items()},
             "stream_gbps": {str(c): round(b / 1e9, 2) for c, b in bw.items()},
         },
@@ -226,10 +248,12 @@ def main():
     lines = [
         "# BENCH — measured throughput & scaling",
         "",
-        f"Input: pages_bench ({pages_rows:,} rows, schema url/warc_ts/html/text/lang) "
-        f"+ {SF_DIR} TPC-H-ish tables.  Flagship = global + per-lang distinct-url sketch "
-        "(JVM xxhash64 pre-hash + Arrow-vectorized two-phase aggregation), best-of-3 "
-        "after warmup.",
+        f"Headline input: pages_bench ({pages_rows:,} rows, schema "
+        f"url/warc_ts/html/text/lang) + {SF_DIR} TPC-H-ish tables.  Scaling input: "
+        f"pages_scale ({scale_rows:,} rows, same schema/generator) — sized so the "
+        "flagship is data-bound at BOTH parallelism levels instead of sitting at "
+        "the fixed-cost floor.  Flagship = global + per-lang distinct-url sketch "
+        "(whole-stage-codegen JVM engine), best-of-3 after warmup.",
         "",
         "| parallelism | rows/sec (flagship) |",
         "|---|---|",
@@ -238,23 +262,27 @@ def main():
         lines.append(f"| local[{c}] | {rps[c]:,.0f} |")
     lines += [
         "",
-        f"**Scaling efficiency N→4N (local[{lo}]→local[{hi}]): {efficiency:.3f} raw; "
-        f"{norm_eff:.3f} normalized to the machine's own STREAM scaling envelope "
-        f"({hw_eff:.3f})** — target ≥ 0.8, BASELINE.json north_rule.",
+        f"**Scaling efficiency N→4N (local[{lo}]→local[{hi}]): "
+        f"{primary['efficiency']:.3f} raw; {primary['efficiency_vs_hardware']:.3f} "
+        f"normalized to the machine's own STREAM scaling envelope "
+        f"({primary['hardware_stream_efficiency']:.3f})** — target ≥ 0.8, "
+        "BASELINE.json north_rule.",
+        "",
+        "All adjacent pairs (raw / STREAM-envelope / normalized): "
+        + "; ".join(
+            f"{p['cores_lo']}→{p['cores_hi']}: {p['efficiency']:.3f} / "
+            f"{p['hardware_stream_efficiency']:.3f} / {p['efficiency_vs_hardware']:.3f}"
+            for p in pairs
+        ),
         "",
         "Hardware envelope: aggregate memory-copy (STREAM-like) bandwidth on this "
         "sandbox VM measures "
         + ", ".join(f"{c} procs → {bw[c]/1e9:.1f} GB/s" for c in levels)
-        + f" — i.e. a bare numpy memcpy achieves only {hw_eff:.2f} parallel "
-        f"efficiency {lo}→{hi} (per-proc bandwidth collapses "
-        f"{bw[lo]/lo/1e9:.1f}→{bw[hi]/hi/1e9:.1f} GB/s under contention), so every "
-        "data-movement-bound job inherits this curve.  The flagship's raw "
-        "efficiency tracking the STREAM curve means the *software* adds no "
-        "scaling penalty; the N→4N *executor* criterion models multi-node "
-        "scaling where each node contributes its own memory bus, which a single "
-        "VM cannot emulate.  `spark.task.cpus=2` is set for Python-stage jobs so "
-        "JVM task threads and Python workers don't oversubscribe cores (without "
-        "it, task times inflate 3-20× at local[32]).",
+        + " — a bare numpy memcpy inherits the same shared-bus contention curve, "
+        "so every data-movement-bound job is bounded by it.  Raw efficiency at or "
+        "above the STREAM curve means the *software* adds no scaling penalty; the "
+        "N→4N *executor* criterion models multi-node scaling where each node "
+        "contributes its own memory bus, which a single VM cannot emulate.",
         "",
         "Per-query wall seconds at full parallelism:",
         "",

@@ -152,7 +152,10 @@ def generate(
 
 
 DEFAULT_SMALL = ("data/pages_small", 100_000, 3)
-DEFAULT_BENCH = ("data/pages_bench", 16_000_000, 3)
+# 32M rows: big enough that the flagship at local[32] runs well clear of the
+# ~0.1-1s/job scheduling floor (the round-1 16M table finished in ~1s after
+# the JVM-engine rework, drowning the 8→32 scaling signal in fixed costs)
+DEFAULT_BENCH = ("data/pages_bench", 32_000_000, 3)
 
 
 def ensure_small(repo_root: str | Path = ".") -> Path:
@@ -163,6 +166,19 @@ def ensure_small(repo_root: str | Path = ".") -> Path:
 def ensure_bench(repo_root: str | Path = ".") -> Path:
     d, n, k = DEFAULT_BENCH
     n = int(os.environ.get("SPARK_GRAFT_PAGES_ROWS", n))
+    return generate(Path(repo_root) / d, n, k, n_files=16)
+
+
+# scaling-only table: 128M rows so the flagship is genuinely data-bound at
+# local[8] AND local[32] — at 32M rows even 8 cores sat at the fixed-cost
+# floor (plan analysis + stage scheduling + assembly round-trip), making
+# the N→4N ratio measure latency, not throughput
+DEFAULT_SCALE = ("data/pages_scale", 128_000_000, 3)
+
+
+def ensure_scale(repo_root: str | Path = ".") -> Path:
+    d, n, k = DEFAULT_SCALE
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", n))
     return generate(Path(repo_root) / d, n, k, n_files=32)
 
 
