@@ -36,6 +36,70 @@ def read_sketches(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff Iceberg classes are on the session's JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        return True
+    except Exception:
+        return False
+
+
+class SketchTable:
+    """Catalog table of sketches/rollups with graceful degradation:
+    Iceberg when its runtime is on the classpath (manifest-level partition
+    pruning, snapshot time travel, schema/partition evolution — what a
+    100 TB deployment wants), else hive-style partitioned parquet, which
+    preserves the two properties the query plans here rely on:
+
+    - partition pruning: a filter on a partition column prunes directories
+      before the scan (asserted via the physical plan in tests);
+    - column pruning / filter pushdown on the non-partition columns.
+
+    ``name_or_path``: a catalog table name for Iceberg, a directory path
+    for parquet.  The API is intentionally the small shared subset.
+    """
+
+    def __init__(self, spark: SparkSession, name_or_path: str, format: str = "auto"):
+        self.spark = spark
+        self.target = name_or_path
+        if format == "auto":
+            format = "iceberg" if iceberg_available(spark) else "parquet"
+        if format not in ("iceberg", "parquet"):
+            raise ValueError(f"unknown format {format!r}")
+        self.format = format
+
+    def write(self, df: DataFrame, partition_by: Sequence[str] = (), mode: str = "overwrite") -> None:
+        partition_by = list(partition_by)
+        if self.format == "iceberg":
+            w = df.writeTo(self.target).using("iceberg")
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            if mode == "overwrite":
+                w.createOrReplace()
+            else:
+                w.append()
+            return
+        df.write.mode(mode).partitionBy(*partition_by).parquet(self.target)
+
+    def read(self) -> DataFrame:
+        if self.format == "iceberg":
+            return self.spark.read.table(self.target)
+        return self.spark.read.parquet(self.target)
+
+    def scan_is_pruned(self, df: DataFrame, partition_col: str) -> bool:
+        """True iff the physical plan prunes by ``partition_col`` before the
+        scan (PartitionFilters for parquet; Iceberg encodes pruning in its
+        scan's filter expression)."""
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if self.format == "iceberg":
+            return partition_col in plan and "BatchScan" in plan
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        return bool(m and partition_col in m.group(1))
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -104,3 +104,25 @@ def test_manifest_pins_epochs_and_rejects_input_drift(spark, pages_path, tmp_pat
         ck.epoch_files()
     with pytest.raises(ValueError):
         ck.run()
+
+
+def test_sketch_table_partition_pruning(spark, tmp_path):
+    """SketchTable (Iceberg-or-parquet shim): a filter on the partition
+    column must prune partitions BEFORE the scan, and sketches must
+    round-trip through the partitioned layout."""
+    from hllspark.io import SketchTable, iceberg_available
+
+    pages = spark.read.parquet("/root/repo/data/pages_small")
+    per_lang = agg.sketch(pages, "url", by=["lang"])
+    t = SketchTable(spark, str(tmp_path / "rollup"))
+    assert t.format == ("iceberg" if iceberg_available(spark) else "parquet")
+    t.write(per_lang, partition_by=["lang"])
+
+    back = t.read()
+    pruned = back.filter(F.col("lang") == "en")
+    assert t.scan_is_pruned(pruned, "lang"), "partition filter did not reach the scan"
+    # values round-trip: merged estimate over the pruned partition is sane
+    from hllspark.functions import hll_estimate
+    est = pruned.select(hll_estimate("sketch").alias("e")).first()["e"]
+    exact = pages.filter(F.col("lang") == "en").select("url").distinct().count()
+    assert abs(est - exact) / exact < 0.03
