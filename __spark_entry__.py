@@ -34,10 +34,12 @@ def _ensure_workers(spark: SparkSession) -> None:
 
         root = Path(__file__).resolve().parent
         zip_path = root / "dist" / "hllspark.zip"
-        if not zip_path.exists():
+        sources = sorted((root / "hllspark").rglob("*.py"))
+        newest = max(p.stat().st_mtime for p in sources)
+        if not zip_path.exists() or zip_path.stat().st_mtime < newest:
             zip_path.parent.mkdir(parents=True, exist_ok=True)
             with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-                for p in sorted((root / "hllspark").rglob("*.py")):
+                for p in sources:
                     z.write(p, p.relative_to(root))
         if not getattr(spark.sparkContext, "_hllspark_shipped", False):
             spark.sparkContext.addPyFile(str(zip_path))

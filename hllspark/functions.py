@@ -11,6 +11,8 @@ operators (sql/postgres.sql:43-330; see SURVEY.md §2.3-2.5):
 | hyperloglog_union/intersection/…       | hll_union_estimate / …             |
 | hyperloglog_equal / = / <>             | hll_equal(a, b)                    |
 | length(c)                              | hll_length(sketch)                 |
+| hyperloglog_comp / hyperloglog_decomp  | hll_comp / hll_decomp              |
+| hyperloglog_update(c)                  | hll_update (accepts ref v0/v1)     |
 | hyperloglog_info(c)                    | hll_info(sketch) → json string     |
 | hyperloglog_accum(col) (agg)           | hll_sketch_agg(col) (GROUPED_AGG)  |
 | hyperloglog_merge(col) (agg)           | hll_merge_agg(sketch_col)          |
