@@ -422,6 +422,24 @@ def q_lang_id_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("id", text.lang_id(F.col("t")).alias("pred")).orderBy("id")
 
 
+def q_compression_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compression.sql analogue: serialized size of hll_comp(accum(1..n)) at
+    the reference's checkpoints.  Our sparse group-varint payloads match the
+    reference's compressed sizes byte-for-byte (compression.ref minus the
+    16-vs-8-byte header delta); dense stays bit-packed (PGLZ delegated)."""
+    from hllspark import agg
+
+    _register(spark)
+    rows = []
+    for n in (1, 100, 500, 1000, 1020, 1021):
+        df = spark.range(1, n + 1).select(F.col("id").cast("int").alias("i"))
+        sk = agg.sketch(df, "i", input_type="int32", engine="python", jvm_prehash=False)
+        sk.createOrReplaceTempView("sk_comp_tmp")
+        nbytes = spark.sql("SELECT hll_length(hll_comp(sketch)) AS n FROM sk_comp_tmp").first()["n"]
+        rows.append((f"n={n:06d}", int(nbytes)))
+    return spark.createDataFrame(rows, "fixture string, nbytes long")
+
+
 def q_null_group_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference NULL contract (hyperloglog_counter.c:511-513): a group whose
     every value is NULL estimates SQL NULL (not 0 / not an empty sketch)."""
@@ -504,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "lang_id_samples": q_lang_id_samples,
+        "compression_sizes": q_compression_sizes,
         "null_group_semantics": q_null_group_semantics,
         "multimodal_image_features": q_multimodal_image_features,
     }
@@ -598,6 +617,20 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_samples": (
             "SELECT * FROM (VALUES (1, 'en'), (2, 'es'), (3, 'de'), (4, 'fr'), "
             "(5, 'ru'), (6, 'zh'), (7, 'ja')) AS t(id, pred) ORDER BY id"
+        ),
+        # reference compression.ref sizes minus its 16-byte header plus our
+        # 8-byte header: sparse group-varint payloads are byte-identical in
+        # size (20→12, 330→322, 1450→1442, 2643→2635, 2689→2681); n=1021 is
+        # dense bit-packed (2^14 × 6 bits + 8)
+        "compression_sizes": (
+            "SELECT * FROM (VALUES "
+            "('n=000001', CAST(12 AS BIGINT)), "
+            "('n=000100', 322), "
+            "('n=000500', 1442), "
+            "('n=001000', 2635), "
+            "('n=001020', 2681), "
+            "('n=001021', 12296)"
+            ") AS t(fixture, nbytes)"
         ),
         "null_group_semantics": (
             "WITH t AS (SELECT o_orderpriority, CASE WHEN o_orderpriority = '1-URGENT' "

@@ -101,6 +101,9 @@ def headline_queries(spark, pages_path: str):
     def q_comparator_datasketches_hll():
         pages.agg(F.expr("hll_sketch_estimate(hll_sketch_agg(url, 14))")).collect()
 
+    def q_comparator_datasketches_by_lang():
+        pages.groupBy("lang").agg(F.expr("hll_sketch_estimate(hll_sketch_agg(url, 14))")).collect()
+
     return {
         "lineitem_distinct_orderkey": q_lineitem_distinct_orderkey,
         "lineitem_distinct_part_by_flag": q_lineitem_distinct_part_by_flag,
@@ -111,6 +114,7 @@ def headline_queries(spark, pages_path: str):
         "reagg_stored_sketches": q_reagg_stored,
         "comparator_approx_count_distinct": q_comparator_approx_count_distinct,
         "comparator_datasketches_hll": q_comparator_datasketches_hll,
+        "comparator_datasketches_by_lang": q_comparator_datasketches_by_lang,
     }
 
 
@@ -118,18 +122,16 @@ def stream_bandwidth(procs: int) -> float:
     """Aggregate memory-copy bandwidth (bytes/s) at a given process count —
     the hardware scaling envelope.  ANY data job's parallel efficiency on
     this single-bus VM is bounded by the STREAM curve; normalizing against
-    it shows how much scaling loss is software vs hardware.  Best of 2
-    rounds: a single noisy window (this VM swings 2-3×) would otherwise
-    poison the normalization."""
+    it shows how much scaling loss is software vs hardware.  Callers
+    interleave several rounds across parallelism levels and keep the best:
+    a single noisy window (this VM swings 2-3×) would otherwise poison the
+    normalization."""
     import multiprocessing as mp
 
-    best = 0.0
     ctx = mp.get_context("fork")
-    for _ in range(2):
-        with ctx.Pool(procs) as pool:
-            rates = pool.map(_stream_worker, range(procs))
-        best = max(best, sum(rates))
-    return best
+    with ctx.Pool(procs) as pool:
+        rates = pool.map(_stream_worker, range(procs))
+    return sum(rates)
 
 
 def _stream_worker(_):
@@ -190,22 +192,25 @@ def main():
     spark.stop()
 
     # ---- two-parallelism scaling (N vs 4N cores, same input) ----
-    # Primary pair from env (default 8→32, the driver's own N→4N example).
-    # 2 cores is measured as a third point for the curve.  Raw efficiency is
-    # also normalized per-pair against the machine's own STREAM memcpy
+    # Primary pair from env (default 2→8, where this VM's shared memory bus
+    # still scales ~linearly, so the pair isolates SOFTWARE scaling).  The
+    # full-width point (32) is also measured; every adjacent pair is
+    # reported raw AND normalized against the machine's own STREAM memcpy
     # scaling: this single-VM sandbox shares one memory bus across all
-    # "executors", which a real N→4N multi-node scale-up does not.
-    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
+    # "executors" — a real N→4N multi-node scale-up adds a bus per node.
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(min(4 * lo, CPUS))))
-    levels = sorted({lo, hi})
-    # interleave two rounds per level and keep the best — this VM's effective
-    # CPU/bandwidth swings 2-3x across minutes, which would otherwise skew
-    # the lo/hi ratio in either direction
+    levels = sorted({lo, hi, CPUS})
+    # interleave rounds per level (Spark throughput AND the STREAM envelope
+    # back-to-back) and keep each level's best — this VM's effective CPU/
+    # bandwidth swings 2-3x across minutes, which would otherwise skew the
+    # lo/hi ratio (and the normalization) in either direction
     rps = {c: 0.0 for c in levels}
-    for _ in range(2):
+    bw = {c: 0.0 for c in levels}
+    for _ in range(3):
         for c in levels:
             rps[c] = max(rps[c], scaling_run(c, scale_path, scale_rows))
-    bw = {c: stream_bandwidth(c) for c in levels}
+            bw[c] = max(bw[c], stream_bandwidth(c))
 
     def pair_stats(a: int, b: int) -> dict:
         eff = (rps[b] / rps[a]) / (b / a)
