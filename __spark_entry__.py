@@ -406,6 +406,31 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(int(i),) for i, _ in top], "vec_id long")
 
 
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline) — DuckDB recomputes
+    with list_cosine_similarity.  Threshold 0.5 sits between the fixture's
+    top two pair cosines (0.513 / 0.493), so float rounding can't flip it."""
+    from hllspark.pipeline import ann
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ann.cosine_pairs(emb, threshold=0.5).orderBy("a", "b")
+
+
+def q_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hyperloglog_accum at varying precisions (north_star: estimates vs
+    exact across b): each b's estimate must sit inside 3·1.04/√(2^b)."""
+    from hllspark import agg
+
+    li = _read(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_partkey")).first()[0]
+    rows = []
+    for b in (10, 12, 14, 16):
+        est = agg.distinct(li, "l_partkey", b=b).first()["est"]
+        bound = 3 * 1.04 / math.sqrt(2**b)
+        rows.append((b, int(exact), bool(abs(est - exact) <= bound * exact)))
+    return spark.createDataFrame(rows, "b int, exact_cnt long, within_bound boolean")
+
+
 def q_lang_id_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hllspark.pipeline import text
 
@@ -522,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "lang_id_samples": q_lang_id_samples,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "precision_sweep": q_precision_sweep,
         "compression_sizes": q_compression_sizes,
         "null_group_semantics": q_null_group_semantics,
         "multimodal_image_features": q_multimodal_image_features,
@@ -617,6 +644,16 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_samples": (
             "SELECT * FROM (VALUES (1, 'en'), (2, 'es'), (3, 'de'), (4, 'fr'), "
             "(5, 'ru'), (6, 'zh'), (7, 'ja')) AS t(id, pred) ORDER BY id"
+        ),
+        "embedding_cosine_pairs": (
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b "
+            "ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5 "
+            "ORDER BY a, b"
+        ),
+        "precision_sweep": (
+            "SELECT b, (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_cnt, "
+            "TRUE AS within_bound FROM (VALUES (10), (12), (14), (16)) AS t(b) ORDER BY b"
         ),
         # reference compression.ref sizes minus its 16-byte header plus our
         # 8-byte header: sparse group-varint payloads are byte-identical in

@@ -90,6 +90,62 @@ def topk_cosine(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def _cosine_expr(x, y):
+    """JVM-side cosine of two array<float> columns (zip_with dot product +
+    aggregate norms — no Python in the verification path)."""
+    dot = F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+    nx = F.sqrt(F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v))
+    ny = F.sqrt(F.aggregate(y, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (nx * ny)
+
+
+def cosine_pairs(
+    df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact embedding near-dup pairs: all pairs with cosine ≥ threshold.
+
+    O(N²) BASELINE — correct at any threshold, fine up to ~10^5 vectors;
+    at crawl scale use cosine_pairs_lsh (bucketed candidates, same
+    verification).  Returns DataFrame[a, b] ordered ids."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    j = a.join(b, F.col("a") < F.col("b"))
+    return (
+        j.filter(_cosine_expr(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("a", "b")
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    h: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH buckets generate the candidates
+    (a high-cosine pair agrees on a sign bit w.p. 1−θ/π, so it lands in the
+    same bucket w.p. (1−θ/π)^h), then the same JVM-side cosine verification.
+    Recall < 1 by construction — tune (h, and/or multiple seeds unioned)
+    against the brute-force baseline (tests/test_ann.py)."""
+    indexed = lsh_index(df, dim, h=h, seed=seed, id_col=id_col, vec_col=vec_col)
+    a = indexed.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "bucket")
+    b = indexed.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "bucket")
+    j = a.join(b, ["bucket"]).filter(F.col("a") < F.col("b"))
+    return (
+        j.filter(_cosine_expr(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # random-hyperplane LSH (scale path)
 # ---------------------------------------------------------------------------
 

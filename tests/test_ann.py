@@ -72,3 +72,28 @@ def test_ivf_recall_and_pruning(spark, emb, ground):
     assert np.mean(recalls) >= 0.6, recalls
     for qi in range(len(queries)):
         assert got[qi][0][0] == ids[20 + qi]
+
+
+def test_cosine_pairs_exact_and_lsh_recall(spark):
+    """cosine_pairs (exact baseline) finds planted near-dup embeddings;
+    cosine_pairs_lsh recovers ≥80% of them at h=6 scanning only same-bucket
+    candidates."""
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(60, DIM)).astype(np.float32)
+    # plant 60 near-dup partners: tiny perturbation → cosine ≈ 0.995
+    near = base + rng.normal(scale=0.05, size=base.shape).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(60)] + [
+        (1000 + i, near[i].tolist()) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r["a"], r["b"]) for r in ann.cosine_pairs(df, threshold=0.9).collect()}
+    planted = {(i, 1000 + i) for i in range(60)}
+    assert planted <= exact  # every planted pair found
+    # random 64-dim gaussians almost never reach cosine 0.9
+    assert len(exact - planted) <= 2
+
+    lsh = {(r["a"], r["b"]) for r in ann.cosine_pairs_lsh(df, threshold=0.9, dim=DIM, h=6).collect()}
+    assert lsh <= exact  # verification guarantees no false positives
+    recall = len(lsh & planted) / len(planted)
+    assert recall >= 0.8, recall
