@@ -406,6 +406,49 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(int(i),) for i, _ in top], "vec_id long")
 
 
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints reduced to order-independent scalar
+    aggregates (count of fingerprints, and a modular sum of the per-doc
+    minimum fingerprint — deterministic, checked against literals computed
+    by the scalar reference implementation)."""
+    from hllspark.pipeline.text import fingerprint_documents
+
+    d = _read(spark, sf_dir, "documents")
+    fps = fingerprint_documents(d)
+    return fps.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("fps")).alias("fp_total"),
+        F.sum(F.pmod(F.element_at("fps", 1), F.lit(1000003))).alias("min_fp_modsum"),
+    )
+
+
+def q_streaming_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface, oracle-checked: file-source micro-batches
+    (maxFilesPerTrigger=1) through the SketchStream foreachBatch sink; the
+    final per-key state must estimate within the batch bound — merge
+    determinism makes the result independent of micro-batch boundaries."""
+    import tempfile
+
+    from hllspark.streaming import SketchStream
+
+    e = _read(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="hllspark_stream_contract_")
+    src = f"{base}/src"
+    e.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    ss = SketchStream(f"{base}/state", "user_id", by=["event_type"])
+    q = (
+        stream.writeStream.foreachBatch(ss)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    est = ss.estimates(spark)
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_cnt"))
+    return _bound_check(est, exact, ["event_type"])
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact baseline) — DuckDB recomputes
     with list_cosine_similarity.  Threshold 0.5 sits between the fixture's
@@ -547,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "lang_id_samples": q_lang_id_samples,
+        "fingerprint_documents": q_fingerprint_documents,
+        "streaming_running_distinct": q_streaming_running_distinct,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "precision_sweep": q_precision_sweep,
         "compression_sizes": q_compression_sizes,
@@ -644,6 +689,17 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_samples": (
             "SELECT * FROM (VALUES (1, 'en'), (2, 'es'), (3, 'de'), (4, 'fr'), "
             "(5, 'ru'), (6, 'zh'), (7, 'ja')) AS t(id, pred) ORDER BY id"
+        ),
+        # literals from the scalar reference implementation of
+        # rolling_fingerprints over the same fixture (the distributed
+        # operator is property-tested byte-identical to it)
+        "fingerprint_documents": (
+            "SELECT CAST(500 AS BIGINT) AS n_docs, CAST(1948 AS BIGINT) AS fp_total, "
+            "CAST(211991036 AS BIGINT) AS min_fp_modsum"
+        ),
+        "streaming_running_distinct": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_cnt, TRUE AS within_bound "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "embedding_cosine_pairs": (
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b "

@@ -189,3 +189,25 @@ def test_mega_cluster_split_keeps_connectivity(spark):
         if ra != rb:
             parent[ra] = rb
     assert len({find(i) for i in range(500)}) == 1
+
+
+def test_fingerprint_documents_matches_scalar(spark):
+    """The distributed winnowing operator is byte-identical to the scalar
+    reference implementation, including short-doc and empty edge cases."""
+    import random
+
+    from hllspark.pipeline.text import fingerprint_documents, rolling_fingerprints
+
+    rng = random.Random(11)
+    texts = [
+        "",
+        "short",
+        "exactly8",
+        "a bit longer than the window size",
+        "unicode: héllo wörld — 中文テキスト and more bytes",
+    ] + ["".join(rng.choice("abcdefg hij") for _ in range(rng.randint(0, 200))) for _ in range(40)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: list(r["fps"]) for r in fingerprint_documents(df).collect()}
+    for i, t in enumerate(texts):
+        expected = [v - 2**64 if v >= 2**63 else v for v in rolling_fingerprints(t)]  # int64 view
+        assert got[i] == expected, (i, t[:30])
