@@ -438,17 +438,18 @@ def sketch(
     reference-style (error_rate, ndistinct) derivation.
 
     ``engine``: "jvm" keeps the whole reduction in Catalyst (fastest; hashes
-    with xxhash64) — grouped queries assemble DISTRIBUTED (unbounded key
-    cardinality), global ones on the driver; "jvm_driver" forces driver-side
+    with xxhash64) and assembles DISTRIBUTED — unbounded key cardinality,
+    and global queries finalize in a single executor task under a dummy key
+    (no driver-side assembly); "jvm_driver" forces driver-side
     assembly (lowest latency when the key count is known-small);
     "python" uses the mapInArrow builder (required for murmur
     reference-parity via input_type/jvm_prehash=False).  "auto" picks jvm
     when nothing pins the hash function to murmur."""
     if engine == "auto":
         engine = "jvm" if (input_type == "auto" and jvm_prehash in ("auto", True)) else "python"
-    if engine == "jvm" and list(by or []):
-        return sketch_jvm_distributed(df, value_col, by, b, binbits, error_rate, ndistinct)
-    if engine in ("jvm", "jvm_driver"):
+    if engine == "jvm":
+        return sketch_jvm_distributed(df, value_col, by or [], b, binbits, error_rate, ndistinct)
+    if engine == "jvm_driver":
         return sketch_jvm(df, value_col, by, b, binbits, error_rate, ndistinct)
     partials = build_partials(
         df, value_col, by, b, binbits, input_type, lineage=False, jvm_prehash=jvm_prehash,
@@ -489,14 +490,16 @@ def distinct(
     if engine == "auto":
         engine = "jvm" if (input_type == "auto" and jvm_prehash in ("auto", True)) else "python"
     if engine in ("jvm", "jvm_driver"):
-        if by and engine == "jvm":
+        if engine == "jvm":
             # distributed assembly emits estimates directly inside the
-            # per-key finalize — no extra Python-UDF job over the sketches
+            # per-key finalize — no extra Python-UDF job over the sketches.
+            # Global queries take the same path under a dummy key (no
+            # driver-side assembly anywhere in the default engine).
             return sketch_jvm_distributed(
                 df, value_col, by, b, binbits,
                 finalize="estimate_bigint" if bigint else "estimate", est_col=est_col,
             )
-        # global (or forced driver assembly): states already live on the
+        # forced driver assembly: states already live on the
         # driver — estimate in numpy, skip the Spark estimate job entirely
         states = _sketch_jvm_states(df, value_col, by, b, binbits)
         if not by and not states:
@@ -889,7 +892,23 @@ def sketch_jvm_distributed(
     b, binbits = resolve_params(b, binbits, error_rate, ndistinct)
     by = list(by or [])
     if not by:
-        return sketch_jvm(df, value_col, None, b, binbits)
+        # Global aggregate: run the SAME distributed finalize under a dummy
+        # constant key — the ≤2^b register rows shuffle to one finalize task
+        # instead of a driver toArrow + assembly + result job (the last
+        # ~0.6 s of the DataSketches comparator gap).  A 1-row left join
+        # restores the zero-input-rows → SQL NULL aggregate contract
+        # (hyperloglog_counter.c:511-513) that a vanished dummy group would
+        # otherwise lose.
+        g = "__hllspark_g"
+        inner = sketch_jvm_distributed(
+            df.withColumn(g, F.lit(True)), value_col, [g], b, binbits,
+            finalize=finalize, est_col=est_col,
+        )
+        one = df.sparkSession.range(1).select(F.lit(True).alias(g))
+        out = one.join(F.broadcast(inner), on=g, how="left").drop(g)
+        if finalize == "estimate_bigint":
+            out = out.withColumn(est_col, F.coalesce(F.col(est_col), F.lit(0)))
+        return out
     cap = sparse_capacity(b)
     bb, bbin = b, binbits
 

@@ -194,3 +194,28 @@ def test_integer_type_probes(spark):
     cm.createOrReplaceTempView("cm_int")
     got = spark.sql("SELECT cm_query(sketch, CAST(50 AS INT)) AS c FROM cm_int").first()
     assert got["c"] == 10  # exact at this width (overestimates only)
+
+
+def test_global_distributed_finalize_parity(spark):
+    """engine="jvm" global sketches finalize in an executor task under a
+    dummy key (no driver assembly) — must stay byte-identical to the
+    driver-assembled engine and honor the zero-rows/all-NULL → SQL NULL
+    aggregate contract (hyperloglog_counter.c:511-513)."""
+    cases = {
+        "dense": spark.range(50_000).select(F.col("id").alias("v")),
+        "sparse": spark.range(100).select(F.col("id").alias("v")),
+        "allnull": spark.range(10).select(F.lit(None).cast("long").alias("v")),
+        "empty": spark.range(0).select(F.col("id").alias("v")),
+    }
+    for name, df in cases.items():
+        new = agg.sketch(df, "v", engine="jvm").collect()
+        drv = agg.sketch(df, "v", engine="jvm_driver").collect()
+        assert len(new) == 1 and len(drv) == 1, name
+        a, b = new[0]["sketch"], drv[0]["sketch"]
+        assert (a is None) == (b is None) and (a is None or bytes(a) == bytes(b)), name
+        e = agg.distinct(df, "v", engine="jvm").first()["est"]
+        assert e == agg.distinct(df, "v", engine="jvm_driver").first()["est"], name
+        bi = agg.distinct(df, "v", engine="jvm", bigint=True).first()["est"]
+        assert bi == agg.distinct(df, "v", engine="jvm_driver", bigint=True).first()["est"], name
+    assert agg.distinct(cases["empty"], "v", engine="jvm", bigint=True).first()["est"] == 0
+    assert agg.distinct(cases["allnull"], "v", engine="jvm").first()["est"] is None
