@@ -290,6 +290,36 @@ def q_kll_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "quantile string, within_bound boolean")
 
 
+def q_quantiles_jvm_builders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native quantile builders (groupBy(value).count() Catalyst
+    reduction + one weighted pandas fold per key): t-digest global over
+    l_extendedprice, KLL grouped by l_returnflag over l_quantity — both
+    checked in rank space like the python-engine quantile queries."""
+    from hllspark.sketches import KLL, TDigest
+    from hllspark.sketches.jvm import kll_jvm, tdigest_jvm
+
+    li = _read(spark, sf_dir, "lineitem")
+    td = TDigest.from_bytes(bytes(tdigest_jvm(li, "l_extendedprice").first()["sketch"]))
+    n = li.count()
+    rows = []
+    for name, q in (("td_q10", 0.1), ("td_q50", 0.5), ("td_q90", 0.9)):
+        v = td.quantile(q)
+        rank = li.filter(F.col("l_extendedprice") <= v).count() / n
+        rows.append((name, bool(abs(rank - q) <= 0.02)))
+    klls = {
+        r["l_returnflag"]: KLL.from_bytes(bytes(r["sketch"]))
+        for r in kll_jvm(li, "l_quantity", by=["l_returnflag"]).collect()
+    }
+    for flag in sorted(klls):
+        v = klls[flag].quantile(0.5)
+        grp = li.filter(F.col("l_returnflag") == flag)
+        tot = grp.count()
+        lo = grp.filter(F.col("l_quantity") < v).count() / tot
+        hi = grp.filter(F.col("l_quantity") <= v).count() / tot
+        rows.append((f"kll_{flag}_q50", bool(lo - 0.03 <= 0.5 <= hi + 0.03)))
+    return spark.createDataFrame(rows, "quantile string, within_bound boolean")
+
+
 def q_bloom_orderkey_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
@@ -581,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_event_freq": q_countmin_event_freq,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "kll_quantity_quantiles": q_kll_quantity_quantiles,
+        "quantiles_jvm_builders": q_quantiles_jvm_builders,
         "bloom_orderkey_membership": q_bloom_orderkey_membership,
         "minhash_jaccard_flags": q_minhash_jaccard_flags,
         "token_count_documents": q_token_count_documents,
@@ -658,6 +689,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kll_quantity_quantiles": (
             "SELECT * FROM (VALUES ('q25', TRUE), ('q50', TRUE), ('q75', TRUE)) AS t(quantile, within_bound)"
+        ),
+        "quantiles_jvm_builders": (
+            "SELECT * FROM (VALUES ('td_q10', TRUE), ('td_q50', TRUE), ('td_q90', TRUE), "
+            "('kll_A_q50', TRUE), ('kll_N_q50', TRUE), ('kll_R_q50', TRUE)) AS t(quantile, within_bound)"
         ),
         "bloom_orderkey_membership": "SELECT TRUE AS no_false_negatives, TRUE AS fp_rate_ok",
         "minhash_jaccard_flags": (

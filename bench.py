@@ -93,6 +93,18 @@ def headline_queries(spark, pages_path: str):
         per_lang = agg.sketch(pages, "url", by=["lang"])
         agg.merge_partials(per_lang.select("sketch")).collect()
 
+    def q_pages_ts_quantiles_tdigest():
+        # JVM value-count reduction (86,400 distinct timestamps at any row
+        # count) + one weighted pandas fold — the discrete-column fast path
+        from hllspark.sketches.jvm import tdigest_jvm
+
+        tdigest_jvm(pages.select(F.unix_timestamp("warc_ts").alias("ts")), "ts").collect()
+
+    def q_comparator_percentile_approx():
+        pages.select(F.unix_timestamp("warc_ts").alias("ts")).agg(
+            F.percentile_approx("ts", [0.1, 0.5, 0.9], 10000)
+        ).collect()
+
     # JVM-native comparators (SURVEY.md §2.7): no persistable/mergeable
     # custom sketch, no golden parity — but a throughput reference point
     def q_comparator_approx_count_distinct():
@@ -112,6 +124,8 @@ def headline_queries(spark, pages_path: str):
         "pages_distinct_url_by_lang": q_pages_distinct_url_by_lang,
         "pages_distinct_texthash": q_pages_distinct_texthash,
         "reagg_stored_sketches": q_reagg_stored,
+        "pages_ts_quantiles_tdigest": q_pages_ts_quantiles_tdigest,
+        "comparator_percentile_approx": q_comparator_percentile_approx,
         "comparator_approx_count_distinct": q_comparator_approx_count_distinct,
         "comparator_datasketches_hll": q_comparator_datasketches_hll,
         "comparator_datasketches_by_lang": q_comparator_datasketches_by_lang,

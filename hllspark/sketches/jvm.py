@@ -142,3 +142,75 @@ def bloom_jvm(
         return pd.DataFrame({**_keyrow(pdf, by), "sketch": [bf.to_bytes()]})
 
     return bits.groupBy(*by).applyInPandas(assemble, schema=_out_schema(df, by))
+
+
+def _value_counts(df: DataFrame, value_col: str, by: Sequence[str]) -> DataFrame:
+    """groupBy(key, value).count() with the value canonicalized to double —
+    the whole reduction is a Catalyst hash aggregate with map-side combine,
+    so each partition ships at most its LOCAL distinct values."""
+    v = F.col(value_col).cast("double")
+    vals = df.select(*by, v.alias("__v")).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+    return vals.groupBy(*by, "__v").agg(F.count("*").alias("__n"))
+
+
+def _quantile_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None, make, insert) -> DataFrame:
+    """Shared frame for tdigest_jvm / kll_jvm: JVM value-count reduction →
+    one pandas finalize task per key, fed SORTED (value, count) pairs so the
+    sketch is a deterministic function of the value multiset (stronger than
+    the python engine, whose result depends on partition batching).
+
+    Scale envelope: the finalize task for a key sees that key's DISTINCT
+    values.  Right-sized for discrete/low-cardinality numeric columns
+    (quantities, prices, scores, sizes) — for genuinely continuous values
+    use the python engine (agg.sketch_generic), which builds per partition
+    and never shuffles values.
+    """
+    by = list(by or [])
+    counted = _value_counts(df, value_col, by)
+    g = "__g"
+    keys = by or [g]
+    if not by:
+        counted = counted.withColumn(g, F.lit(True))
+    schema_src = df if by else df.withColumn(g, F.lit(True))
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = make()
+        v = pdf["__v"].to_numpy(np.float64)
+        n = pdf["__n"].to_numpy(np.int64)
+        order = np.argsort(v, kind="stable")  # shuffle order → canonical order
+        insert(st, v[order], n[order])
+        return pd.DataFrame({**_keyrow(pdf, keys), "sketch": [st.to_bytes()]})
+
+    out = counted.groupBy(*keys).applyInPandas(assemble, schema=_out_schema(schema_src, keys))
+    if not by:
+        # zero non-null input rows → the dummy group never exists; restore a
+        # single row carrying an empty sketch (total == 0)
+        spark = df.sparkSession
+        one = spark.range(1).select(F.lit(True).alias(g))
+        out = one.join(F.broadcast(out), on=g, how="left").drop(g)
+        out = out.withColumn("sketch", F.coalesce(F.col("sketch"), F.lit(bytearray(make().to_bytes()))))
+    return out
+
+
+def tdigest_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None = None, delta: int = 100) -> DataFrame:
+    """DataFrame[by..., sketch] of TDigest sketches; the only Python work is
+    one weighted fold per key over pre-counted distinct values."""
+    from .tdigest import TDigest
+
+    return _quantile_jvm(
+        df, value_col, by,
+        lambda: TDigest.create(delta=delta),
+        lambda st, v, n: st.update_weighted(v, n.astype(np.float64)),
+    )
+
+
+def kll_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None = None, k: int = 200) -> DataFrame:
+    """DataFrame[by..., sketch] of KLL sketches via lossless binary weight
+    decomposition of the per-value counts."""
+    from .kll import KLL
+
+    return _quantile_jvm(
+        df, value_col, by,
+        lambda: KLL.create(k=k),
+        lambda st, v, n: st.update_weighted(v, n),
+    )

@@ -78,6 +78,30 @@ class KLL:
             self.levels[0] = np.concatenate([self.levels[0], vals[lo : lo + max(cap0, 1024)]])
             self._compact()
 
+    def update_weighted(self, vals: np.ndarray, counts: np.ndarray) -> None:
+        """Insert pre-aggregated (value, count) pairs by binary weight
+        decomposition: a value with count c lands once in level h for every
+        set bit h of c (an item at level h carries weight 2^h exactly, so
+        the insert is lossless — no sampling error beyond later compaction).
+        This is the JVM-builder path, fed by groupBy(value).count()."""
+        vals = np.asarray(vals, dtype=np.float64)
+        counts = np.asarray(counts, dtype=np.int64)
+        ok = np.isfinite(vals) & (counts > 0)
+        vals, counts = vals[ok], counts[ok]
+        if len(vals) == 0:
+            return
+        self.vmin = min(self.vmin, float(vals.min()))
+        self.vmax = max(self.vmax, float(vals.max()))
+        self.total += int(counts.sum())
+        for h in range(int(counts.max()).bit_length()):
+            sel = vals[(counts >> h) & 1 == 1]
+            if not len(sel):
+                continue
+            while len(self.levels) <= h:
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[h] = np.concatenate([self.levels[h], sel])
+            self._compact()
+
     def update_arrow(self, arr, input_type: str = "auto") -> None:
         import pyarrow as pa
 

@@ -85,6 +85,24 @@ class TDigest:
         order = np.argsort(m, kind="stable")
         self._compress(m[order], w[order])
 
+    def update_weighted(self, vals: np.ndarray, weights: np.ndarray) -> None:
+        """Insert pre-aggregated (value, weight) pairs — the JVM-builder path
+        where duplicates were already collapsed by groupBy(value).count().
+        Equivalent to inserting each value `weight` times up to centroid
+        boundary placement (both within the k1-scale error bound)."""
+        vals = np.asarray(vals, dtype=np.float64)
+        weights = np.asarray(weights, dtype=np.float64)
+        ok = np.isfinite(vals) & (weights > 0)
+        vals, weights = vals[ok], weights[ok]
+        if len(vals) == 0:
+            return
+        self.vmin = min(self.vmin, float(vals.min()))
+        self.vmax = max(self.vmax, float(vals.max()))
+        m = np.concatenate([self.means, vals])
+        w = np.concatenate([self.weights, weights])
+        order = np.argsort(m, kind="stable")
+        self._compress(m[order], w[order])
+
     def update_arrow(self, arr, input_type: str = "auto") -> None:
         import pyarrow as pa
 

@@ -66,3 +66,62 @@ def test_minhash_partition_invariance(spark, sf001_dir):
     a = bytes(agg.sketch_generic(li.repartition(3), "l_partkey", lambda: MinHash.create(k=128), MinHash).first()["sketch"])
     b = bytes(agg.sketch_generic(li.repartition(11), "l_partkey", lambda: MinHash.create(k=128), MinHash).first()["sketch"])
     assert a == b  # elementwise-min merge → byte-identical at any parallelism
+
+
+def test_tdigest_jvm_builder(spark, sf01_dir):
+    """JVM value-count reduction + weighted fold: same rank accuracy as the
+    python engine, deterministic across partitionings, empty-input row."""
+    from hllspark.sketches.jvm import tdigest_jvm
+
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    td = TDigest.from_bytes(bytes(tdigest_jvm(li, "l_extendedprice").first()["sketch"]))
+    vals = np.array([r[0] for r in li.select("l_extendedprice").collect()])
+    s = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        rank = np.searchsorted(s, td.quantile(q)) / len(s)
+        assert abs(rank - q) < 0.02, (q, rank)
+    assert td.total == pytest.approx(len(vals))
+    # determinism: a different partitioning yields byte-identical sketches
+    a = bytes(tdigest_jvm(li.repartition(3), "l_extendedprice").first()["sketch"])
+    b = bytes(tdigest_jvm(li.repartition(17), "l_extendedprice").first()["sketch"])
+    assert a == b
+    # zero rows → single row, empty sketch
+    empty = TDigest.from_bytes(bytes(tdigest_jvm(li.filter("l_extendedprice < 0"), "l_extendedprice").first()["sketch"]))
+    assert empty.total == 0
+
+
+def test_kll_jvm_builder_grouped(spark, sf01_dir):
+    from hllspark.sketches.jvm import kll_jvm
+
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    rows = {r["l_returnflag"]: KLL.from_bytes(bytes(r["sketch"]))
+            for r in kll_jvm(li, "l_quantity", by=["l_returnflag"]).collect()}
+    assert len(rows) == 3
+    exact_mid = {
+        r["l_returnflag"]: r["m"]
+        for r in li.groupBy("l_returnflag").agg(F.expr("percentile(l_quantity, 0.5)").alias("m")).collect()
+    }
+    for flag, k in rows.items():
+        assert abs(k.quantile(0.5) - exact_mid[flag]) <= 1.5
+        assert k.total == li.filter(F.col("l_returnflag") == flag).count()
+    # determinism across partitionings (per key)
+    again = {r["l_returnflag"]: bytes(r["sketch"])
+             for r in kll_jvm(li.repartition(13), "l_quantity", by=["l_returnflag"]).collect()}
+    assert {f: bytes(KLL.from_bytes(b).to_bytes()) for f, b in again.items()} == {
+        f: bytes(k.to_bytes()) for f, k in rows.items()
+    }
+
+
+def test_kll_weighted_insert_lossless():
+    """Binary weight decomposition must match plain repeated insertion's
+    total weight exactly and stay within rank bounds."""
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 100, 5000).astype(np.float64)
+    uniq, cnt = np.unique(vals, return_counts=True)
+    kw = KLL.create(k=200)
+    kw.update_weighted(uniq, cnt)
+    assert kw.total == len(vals)
+    s = np.sort(vals)
+    for q in (0.25, 0.5, 0.75):
+        rank = np.searchsorted(s, kw.quantile(q), side="right") / len(s)
+        assert abs(rank - q) < 0.05, (q, rank)
