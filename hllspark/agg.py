@@ -967,12 +967,18 @@ def sketch_jvm_distributed(
         # maybe-sparse (or has chain rows) → defer to pass 2
         return pd.DataFrame({**key, vname: [None], "__defer": [True]})
 
-    pass1 = regs.groupBy(*by).applyInPandas(assemble_dense, schema=pass1_schema).cache()
+    # localCheckpoint, NOT cache(): cache is keyed on the LOGICAL PLAN, so a
+    # later identical query would silently reuse this result (skipping the
+    # whole scan — poisons benchmarks and surprises users), and the entry
+    # is never unpersisted.  localCheckpoint materializes eagerly (the one
+    # heavy reduction), is keyed on the RDD object (no cross-query reuse),
+    # and its blocks are GC-cleaned when the result goes out of scope.
+    # Output is tiny: one row per group key.
+    pass1 = regs.groupBy(*by).applyInPandas(assemble_dense, schema=pass1_schema).localCheckpoint(eager=True)
     done = pass1.filter(~F.col("__defer")).drop("__defer")
     flagged = pass1.filter(F.col("__defer")).select(*by)
 
-    # materializes pass1 (cached); at web scale this is the point where the
-    # heavy reduction runs once — the emptiness check itself is then free
+    # pass1 is already materialized — the emptiness decision is free
     if flagged.isEmpty():
         return done
 

@@ -248,7 +248,12 @@ def verified_pairs(
     # docs shorter than one shingle have no signature content — an all-empty
     # pair would otherwise report J=1.0 (e.g. NULL text vs empty string)
     df = df.filter(F.length(F.coalesce(F.col(text_col), F.lit(""))) >= ngram)
-    sig_df = minhash_signatures(df, id_col, text_col, k=k, ngram=ngram).cache()
+    # localCheckpoint, not cache(): signatures feed three subtrees of the
+    # final plan (bucketing + both verify sides) so one materialization is
+    # right — but cache() is plan-keyed (a later identical call would skip
+    # the scan, poisoning timings) and never unpersisted.  Checkpoint blocks
+    # are object-keyed and GC-cleaned.
+    sig_df = minhash_signatures(df, id_col, text_col, k=k, ngram=ngram).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sig_df, id_col, bands=bands, max_bucket=max_bucket)
     sa = sig_df.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     sb = sig_df.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
@@ -269,9 +274,15 @@ def dedup_near(
     """Remove near-duplicates: connected components over verified pairs via
     iterative min-label propagation (each round one join; converges in
     O(log component-diameter) rounds), keep the component's min id."""
-    pairs = verified_pairs(df, id_col, text_col, threshold=threshold, **kw).select("a", "b").cache()
-    # label[x] = min id reachable; init label = min(neighbor ids, self)
-    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    pairs = verified_pairs(df, id_col, text_col, threshold=threshold, **kw).select("a", "b")
+    # label[x] = min id reachable; init label = min(neighbor ids, self).
+    # One localCheckpoint AFTER the symmetrization (not on pairs itself):
+    # edges is what every propagation round re-reads, checkpointing is
+    # object-keyed (no cross-query plan reuse, GC-cleaned — cache() was
+    # neither), and checkpointing pairs first then column-swap-unioning it
+    # trips a Spark optimizer attribute-resolution bug.  The expensive
+    # shared subtree (signatures) is checkpointed inside verified_pairs.
+    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(eager=True)
     # localCheckpoint per round: the iterative joins would otherwise build an
     # O(2^rounds) lineage that at scale stalls planning and recovery; the
     # label table (only docs appearing in a pair) is small relative to df

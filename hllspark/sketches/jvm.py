@@ -214,3 +214,48 @@ def kll_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None = None, k: i
         lambda: KLL.create(k=k),
         lambda st, v, n: st.update_weighted(v, n),
     )
+
+
+_SMIN = -(1 << 63)
+
+
+def minhash_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None = None, k: int = 128) -> DataFrame:
+    """DataFrame[by..., sketch] of MinHash signatures with the ENTIRE
+    reduction in whole-stage-codegen JVM:
+
+      xxhash64(value) → k derived hashes xxhash64(__h, lit(j)) (native,
+      no wrapping multiplies — ANSI mode forbids overflow arithmetic)
+      → groupBy(key).agg(k × min)
+
+    Unsigned min order is preserved through Spark's signed longs by XORing
+    the sign bit before the min and back after.  Python's only work is one
+    vectorized row→bytes conversion per key.  Byte-identical to the python
+    engine with jvm_prehash=True / hash_kind=HASH_XXHASH_SPARK, whose remix
+    (minhash._remix_spark) replays the same xxhash64 chain (tested).
+
+    Keys whose every value is NULL vanish (no signature over zero items),
+    matching countmin_jvm/bloom_jvm family behavior.
+    """
+    from .minhash import MinHash
+
+    by = list(by or [])
+    hdf = _hashed(df, value_col, by)
+    agged = hdf.groupBy(*by).agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(j)).bitwiseXOR(F.lit(_SMIN))).alias(f"__m{j}")
+            for j in range(1, k + 1)
+        ],
+        F.count("*").alias("__n"),
+    )
+    # un-flip the sign bit → true uint64 bit patterns, pack as one array col
+    sig_arr = F.array(*[F.col(f"__m{j}").bitwiseXOR(F.lit(_SMIN)) for j in range(1, k + 1)])
+
+    @F.pandas_udf(BinaryType())
+    def to_sketch(sig: pd.Series, n: pd.Series) -> pd.Series:
+        out = []
+        for s, cnt in zip(sig, n):
+            mh = MinHash(k, np.asarray(s, dtype=np.int64).view(np.uint64).copy(), int(cnt), HASH_XXHASH_SPARK)
+            out.append(mh.to_bytes())
+        return pd.Series(out)
+
+    return agged.select(*by, to_sketch(sig_arr, F.col("__n")).alias("sketch"))

@@ -30,6 +30,25 @@ def _remix(h: np.ndarray, salt: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def _remix_spark(h: np.ndarray, k: int) -> np.ndarray:
+    """Derived hashes matching Spark's ``xxhash64(hash_col, lit(j))`` for
+    j = 1..k — the remix the JVM builder (sketches.jvm.minhash_jvm) can run
+    natively without wrapping multiplies (ANSI mode forbids overflow), so
+    hash_kind=HASH_XXHASH_SPARK sketches stay byte-identical across engines.
+    Spark folds multi-arg xxhash64 left-to-right: hashLong(h, 42) seeds
+    hashInt(j, ·)."""
+    from ..core.xxhash import _P1, _P2, _P3, _P5, _avalanche, _rotl, xxh64_long
+
+    s0 = xxh64_long(h.view(np.int64))  # (n,)
+    out = np.empty((k, len(h)), dtype=np.uint64)
+    for j in range(1, k + 1):
+        hh = s0 + np.uint64(int(_P5) + 4)
+        hh = hh ^ np.uint64((j * int(_P1)) & 0xFFFFFFFFFFFFFFFF)
+        hh = _rotl(hh, 23) * _P2 + _P3
+        out[j - 1] = _avalanche(hh)
+    return out
+
+
 class MinHash:
     __slots__ = ("k", "sig", "n_added", "hash_kind")
 
@@ -49,8 +68,11 @@ class MinHash:
         h = h.astype(np.uint64, copy=False)
         if len(h) == 0:
             return
-        salt = np.arange(1, self.k + 1, dtype=np.uint64)
-        mins = _remix(h, salt).min(axis=1)
+        if self.hash_kind == 1:  # HASH_XXHASH_SPARK: JVM-builder-compatible remix
+            mins = _remix_spark(h, self.k).min(axis=1)
+        else:
+            salt = np.arange(1, self.k + 1, dtype=np.uint64)
+            mins = _remix(h, salt).min(axis=1)
         np.minimum(self.sig, mins, out=self.sig)
         self.n_added += len(h)
 

@@ -219,3 +219,29 @@ def test_global_distributed_finalize_parity(spark):
         assert bi == agg.distinct(df, "v", engine="jvm_driver", bigint=True).first()["est"], name
     assert agg.distinct(cases["empty"], "v", engine="jvm", bigint=True).first()["est"] == 0
     assert agg.distinct(cases["allnull"], "v", engine="jvm").first()["est"] is None
+
+
+def test_minhash_jvm_byte_parity(spark, sf01_dir):
+    """minhash_jvm's Catalyst reduction (xxhash64(h, j) remix + sign-flipped
+    min) is byte-identical to the python engine with jvm_prehash=True and
+    hash_kind=HASH_XXHASH_SPARK (_remix_spark replays the same chain)."""
+    from hllspark.core.hll import HASH_XXHASH_SPARK
+    from hllspark.sketches import MinHash
+    from hllspark.sketches.jvm import minhash_jvm
+
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet").limit(20_000)
+    fac = lambda: MinHash.create(k=128, hash_kind=HASH_XXHASH_SPARK)
+    jvm = {r["l_returnflag"]: bytes(r["sketch"])
+           for r in minhash_jvm(li, "l_partkey", by=["l_returnflag"]).collect()}
+    py = {r["l_returnflag"]: bytes(r["sketch"])
+          for r in agg.sketch_generic(li, "l_partkey", fac, MinHash, by=["l_returnflag"], jvm_prehash=True).collect()}
+    assert jvm == py and len(jvm) == 3
+    # jaccard behaves: identical sets → 1.0, disjoint ranges → ~0
+    a = spark.range(0, 4000).selectExpr("id AS v")
+    b = spark.range(50_000, 54_000).selectExpr("id AS v")
+    sa = MinHash.from_bytes(bytes(minhash_jvm(a, "v", k=256).first()["sketch"]))
+    sb = MinHash.from_bytes(bytes(minhash_jvm(b, "v", k=256).first()["sketch"]))
+    sa2 = MinHash.from_bytes(bytes(minhash_jvm(a.repartition(7), "v", k=256).first()["sketch"]))
+    assert sa.jaccard(sa2) == 1.0 and bytes(sa.to_bytes()) == bytes(sa2.to_bytes())
+    assert sa.jaccard(sb) < 0.05
+    assert sa.n_added == 4000
