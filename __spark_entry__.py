@@ -155,6 +155,23 @@ def q_distinct_pages_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bound_check(est, exact, ["lang"])
 
 
+def q_extract_text_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint per-row invariant: text extracted from html must be
+    byte-identical to the reference extraction for every url.  The operator
+    (pipeline.text.extract_text: tag runs → newline, trim) runs in Spark;
+    the DuckDB oracle re-derives the same extraction independently and both
+    count exact matches against the stored text column."""
+    from hllspark.pipeline.pages import ensure_small
+    from hllspark.pipeline.text import extract_text
+
+    path = str(ensure_small(Path(__file__).resolve().parent))
+    pages = spark.read.parquet(path)
+    return pages.select(
+        F.count("*").alias("n_rows"),
+        F.sum((extract_text("html") == F.col("text")).cast("long")).alias("n_byte_identical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # golden replays (deterministic to 10 decimals → compared in micro-units)
 # ---------------------------------------------------------------------------
@@ -524,7 +541,8 @@ def q_compression_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compression.sql analogue: serialized size of hll_comp(accum(1..n)) at
     the reference's checkpoints.  Our sparse group-varint payloads match the
     reference's compressed sizes byte-for-byte (compression.ref minus the
-    16-vs-8-byte header delta); dense stays bit-packed (PGLZ delegated)."""
+    16-vs-8-byte header delta); dense compresses zlib-over-raw-registers
+    (the reference's PGLZ scheme: 2133 B there vs 1569 here @ n=1021)."""
     from hllspark import agg
 
     _register(spark)
@@ -605,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_partsupp_pairs": q_distinct_partsupp_pairs,
         "reagg_stored_sketches": q_reagg_stored_sketches,
         "distinct_pages_by_lang": q_distinct_pages_by_lang,
+        "extract_text_pages": q_extract_text_pages,
         "golden_series": q_golden_series,
         "golden_setops": q_golden_setops,
         "golden_grouped_sum": q_golden_grouped_sum,
@@ -661,6 +680,13 @@ def oracle_sql() -> dict[str, str]:
         "distinct_pages_by_lang": (
             f"SELECT lang, count(DISTINCT url) AS exact_cnt, TRUE AS within_bound "
             f"FROM read_parquet('{pages_glob}') GROUP BY lang ORDER BY lang"
+        ),
+        # independent re-derivation of the extraction in DuckDB: both engines
+        # strip tag runs to newlines, trim, and compare to the stored text
+        "extract_text_pages": (
+            "SELECT count(*) AS n_rows, "
+            "sum(CASE WHEN trim(regexp_replace(CAST(html AS VARCHAR), '(<[^>]*>)+', chr(10), 'g'), chr(10)) = text "
+            f"THEN 1 ELSE 0 END) AS n_byte_identical FROM read_parquet('{pages_glob}')"
         ),
         # goldens from the reference regression suite, ×10^6 rounded
         # (aggs.ref:32,38,44,50,56; set_ops.ref:57; aggs.ref:1534; aggs.ref:1500-1508)
@@ -749,7 +775,8 @@ def oracle_sql() -> dict[str, str]:
         # reference compression.ref sizes minus its 16-byte header plus our
         # 8-byte header: sparse group-varint payloads are byte-identical in
         # size (20→12, 330→322, 1450→1442, 2643→2635, 2689→2681); n=1021 is
-        # dense bit-packed (2^14 × 6 bits + 8)
+        # dense zlib-over-raw-registers (reference PGLZ analogue: 2133 there,
+        # 1569 here — deterministic for zlib level 6)
         "compression_sizes": (
             "SELECT * FROM (VALUES "
             "('n=000001', CAST(12 AS BIGINT)), "
@@ -757,7 +784,7 @@ def oracle_sql() -> dict[str, str]:
             "('n=000500', 1442), "
             "('n=001000', 2635), "
             "('n=001020', 2681), "
-            "('n=001021', 12296)"
+            "('n=001021', 1569)"
             ") AS t(fixture, nbytes)"
         ),
         "null_group_semantics": (

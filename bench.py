@@ -175,7 +175,7 @@ def scaling_run(cores: int, pages_path: str, pages_rows: int) -> float:
             agg.distinct(pages, "url").collect()
 
         flagship()  # warmup: JVM JIT + Python worker pool + page cache
-        t = timed(flagship, reps=3)
+        t = timed(flagship, reps=2)
         return (2 * pages_rows) / t
     finally:
         spark.stop()
@@ -221,7 +221,7 @@ def main():
     # lo/hi ratio (and the normalization) in either direction
     rps = {c: 0.0 for c in levels}
     bw = {c: 0.0 for c in levels}
-    for _ in range(3):
+    for _ in range(2):
         for c in levels:
             rps[c] = max(rps[c], scaling_run(c, scale_path, scale_rows))
             bw[c] = max(bw[c], stream_bandwidth(c))

@@ -55,6 +55,9 @@ _HEADER = struct.Struct("<BbBBi")  # version, b, binbits, flags, idx
 _FLAG_DENSE = 1
 _FLAG_PACKED = 8  # dense payload is bit-packed at binbits bits/register
 _FLAG_VARINT = 16  # sparse payload is delta + group-varint compressed
+_FLAG_DEFLATE = 32  # dense payload is zlib(raw 1-byte registers) — the
+# analogue of the reference's PGLZ over unpacked registers (hll_compress,
+# hyperloglog.c:1045-1078); kept only when smaller than the bit-packed form
 # bits 1-2 of flags: hash kind — sketches hashed differently must never merge
 HASH_MURMUR = 0  # MurmurHash64A seed 0xadc83b19 (reference-parity)
 HASH_XXHASH_SPARK = 1  # Spark JVM xxhash64(seed=42) pre-hashing (scale path)
@@ -511,12 +514,15 @@ class HLL:
         default (the reference's PACKED format, hyperloglog.h:66-88): 12296 B
         vs 16392 B raw at b=14 — a 25% shuffle/storage saving.
 
-        ``compress=True`` additionally group-varint-compresses sparse
-        payloads (hyperloglog_comp semantics: kept only if actually smaller,
-        hyperloglog.c:1102-1108) — ~2.6 B/entry vs 4 raw, which is what the
-        phase-1 partial shuffle ships when grouping by high-cardinality keys
-        where most groups stay sparse.  PGLZ for dense counters stays
-        delegated to parquet/shuffle codecs (SURVEY.md §4)."""
+        ``compress=True`` additionally compresses payloads the way
+        hyperloglog_comp does, keeping each form only if actually smaller
+        (hyperloglog.c:1102-1108): sparse → delta + group-varint
+        (~2.6 B/entry vs 4 raw — what the phase-1 partial shuffle ships when
+        grouping by high-cardinality keys where most groups stay sparse);
+        dense → zlib over the raw 1-byte registers (the reference PGLZ-
+        compresses unpacked registers the same way: 2133 B @ n=1021,
+        ~9.4 KB @ n=100k, compression.ref), which beats bit-packing by ~5×
+        on mostly-zero registers just past the sparse→dense promotion."""
         hk = (self.hash_kind << _HASH_KIND_SHIFT) & _HASH_KIND_MASK
         if self.sparse is not None:
             if compress and len(self.sparse):
@@ -527,6 +533,13 @@ class HLL:
                     ) + comp
             payload = self.sparse.astype("<u4", copy=False).tobytes()
             return _HEADER.pack(STRUCT_VERSION, self.b, self.binbits, hk, len(self.sparse)) + payload
+        if compress:
+            import zlib
+
+            z = zlib.compress(self.dense.tobytes(), 6)
+            packed_len = ((1 << self.b) * self.binbits + 7) // 8 if (packed and self.binbits < 8) else (1 << self.b)
+            if len(z) < packed_len:
+                return _HEADER.pack(STRUCT_VERSION, self.b, self.binbits, _FLAG_DENSE | _FLAG_DEFLATE | hk, -1) + z
         if packed and self.binbits < 8:
             payload = _pack_registers(self.dense, self.binbits)
             return _HEADER.pack(STRUCT_VERSION, self.b, self.binbits, _FLAG_DENSE | _FLAG_PACKED | hk, -1) + payload
@@ -552,6 +565,11 @@ class HLL:
         hash_kind = (flags & _HASH_KIND_MASK) >> _HASH_KIND_SHIFT
         if flags & _FLAG_DENSE:
             m = 1 << b
+            if flags & _FLAG_DEFLATE:
+                import zlib
+
+                regs = np.frombuffer(zlib.decompress(bytes(payload)), dtype=np.uint8, count=m).copy()
+                return cls(b, binbits, None, regs, hash_kind)
             if flags & _FLAG_PACKED:
                 nbytes = (m * binbits + 7) // 8
                 regs = _unpack_registers(np.frombuffer(payload, dtype=np.uint8, count=nbytes), m, binbits)

@@ -169,11 +169,12 @@ def ensure_bench(repo_root: str | Path = ".") -> Path:
     return generate(Path(repo_root) / d, n, k, n_files=16)
 
 
-# scaling-only table: 128M rows so the flagship is genuinely data-bound at
-# local[8] AND local[32] — at 32M rows even 8 cores sat at the fixed-cost
-# floor (plan analysis + stage scheduling + assembly round-trip), making
-# the N→4N ratio measure latency, not throughput
-DEFAULT_SCALE = ("data/pages_scale", 128_000_000, 3)
+# scaling-only table: sized so the flagship is genuinely data-bound at both
+# parallelism levels.  128M rows was calibrated while reps were accidentally
+# re-reading a plan-keyed cache (~free); with honest per-rep execution a
+# 64M-row pass is already 10s+ of real work at local[8] — and local[2]
+# rounds at 128M made the whole bench run ~1h, past any per-round budget
+DEFAULT_SCALE = ("data/pages_scale", 64_000_000, 3)
 
 
 def ensure_scale(repo_root: str | Path = ".") -> Path:

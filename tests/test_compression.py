@@ -57,10 +57,28 @@ def test_incompressible_falls_back_to_raw():
     assert np.array_equal(HLL.from_bytes(blob).sparse, enc)
 
 
-def test_empty_and_dense_unaffected():
+def test_empty_unaffected_and_dense_deflates():
     e = HLL.create()
     assert HLL.from_bytes(e.to_bytes(compress=True)).equals(e)
     d = HLL.create()
     d.add_hashes(hash_int32(np.arange(1, 5000, dtype=np.int32)))
     assert not d.is_sparse
-    assert d.to_bytes(compress=True) == d.to_bytes()  # dense: bit-packed only
+    # dense compress: zlib over raw registers (reference hll_compress PGLZ
+    # analogue) — far smaller than bit-packed on mostly-zero registers,
+    # exact roundtrip, merge-compatible with the uncompressed form
+    blob = d.to_bytes(compress=True)
+    assert len(blob) < len(d.to_bytes())
+    back = HLL.from_bytes(blob)
+    assert back.equals(d) and back.to_bytes() == d.to_bytes()
+
+
+def test_dense_deflate_reference_scale():
+    """Size magnitude parity with the reference's compressed dense counters
+    (compression.ref: 2133 B total @ n=1021 just past promotion): same
+    scheme (entropy-code the raw registers), so within the same ballpark."""
+    h = HLL.create()
+    h.add_hashes(hash_int32(np.arange(1, 1022, dtype=np.int32)))
+    assert not h.is_sparse
+    blob = h.to_bytes(compress=True)
+    assert len(blob) < 3000  # reference: 2133 with PGLZ; raw packed: 12296
+    assert HLL.from_bytes(blob).equals(h)

@@ -211,3 +211,18 @@ def test_fingerprint_documents_matches_scalar(spark):
     for i, t in enumerate(texts):
         expected = [v - 2**64 if v >= 2**63 else v for v in rolling_fingerprints(t)]  # int64 view
         assert got[i] == expected, (i, t[:30])
+
+
+def test_extract_text_byte_identical(spark):
+    """input_hint invariant: extract_text(html) == text byte-for-byte on
+    every row of the Common-Crawl-style fixture."""
+    from pyspark.sql import functions as F
+
+    from hllspark.pipeline.text import extract_text
+
+    pages = spark.read.parquet("/root/repo/data/pages_small")
+    n = pages.count()
+    match = pages.select(
+        F.sum((extract_text("html") == F.col("text")).cast("long")).alias("m")
+    ).first()["m"]
+    assert match == n and n > 0
