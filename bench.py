@@ -162,7 +162,7 @@ def _stream_worker(_):
 
 
 def scaling_run(cores: int, pages_path: str, pages_rows: int) -> float:
-    """rows/sec of the flagship queries at a given parallelism (best of 3
+    """rows/sec of the flagship queries at a given parallelism (best of 2
     after a full warmup pass — this VM shows multi-second scheduler noise)."""
     spark = make_spark(cores)
     try:
@@ -272,7 +272,7 @@ def main():
         f"pages_scale ({scale_rows:,} rows, same schema/generator) — sized so the "
         "flagship is data-bound at BOTH parallelism levels instead of sitting at "
         "the fixed-cost floor.  Flagship = global + per-lang distinct-url sketch "
-        "(whole-stage-codegen JVM engine), best-of-3 after warmup.",
+        "(whole-stage-codegen JVM engine), best-of-2 after warmup, full honest re-execution per rep (no plan-keyed cache reuse).",
         "",
         "| parallelism | rows/sec (flagship) |",
         "|---|---|",
