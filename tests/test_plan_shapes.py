@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the properties that make the engine hold
+at 100 TB are plan shapes, not timings — column pruning to the scan, filter
+pushdown into parquet, map-side partial aggregation ahead of the shuffle,
+and whole-stage codegen on the hot path.  These assert the shapes directly
+so a refactor that silently loses one fails fast.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hllspark import agg
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_to_value_column(spark):
+    """The register reduction over (url) must read ONLY url from parquet."""
+    pages = spark.read.parquet("/root/repo/data/pages_small")
+    _, regs = agg._hll_kernel_frames(pages, "url", [], 14, 6)
+    plan = _plan(regs)
+    assert "ReadSchema: struct<url:string>" in plan, plan
+    # html/text (the wide columns) must not appear anywhere in the scan
+    assert "html" not in plan and "text" not in plan
+
+
+def test_filter_pushed_to_parquet(spark):
+    pages = spark.read.parquet("/root/repo/data/pages_small")
+    _, regs = agg._hll_kernel_frames(pages.filter(F.col("lang") == "en"), "url", [], 14, 6)
+    plan = _plan(regs)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """groupBy(key, idx).agg(max(rho)) must partial-aggregate map-side: at
+    most P × 2^b rows cross the exchange, never the raw rows."""
+    pages = spark.read.parquet("/root/repo/data/pages_small")
+    _, regs = agg._hll_kernel_frames(pages, "url", ["lang"], 14, 6)
+    plan = _plan(regs)
+    exch = plan.index("Exchange hashpartitioning")
+    # a partial HashAggregate appears BELOW (after, in toString order) the
+    # exchange — i.e. on the map side
+    below = plan[exch:]
+    assert "partial_max" in below or "partial" in below, plan
+    assert "HashAggregate" in below
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    """The kernel columns (hash, clz cascade, encode) and the register
+    reduction must run inside WholeStageCodegen spans — no interpreted
+    projections on the per-row path."""
+    import contextlib
+    import io
+
+    pages = spark.read.parquet("/root/repo/data/pages_small")
+    _, regs = agg._hll_kernel_frames(pages, "url", [], 14, 6)
+    regs.collect()  # under AQE, codegen subtrees exist only in the final plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        regs.explain("codegen")
+    cg = buf.getvalue()
+    assert "Found" in cg and "WholeStageCodegen subtrees" in cg, cg[:500]
+    # the map-side partial aggregate and every kernel projection must be
+    # inside a codegen span (starred nodes)
+    assert "*(1) HashAggregate" in cg and "partial_max" in cg, cg[:800]
+    assert "*(1) Project" in cg
+
+
+def test_minhash_jvm_single_aggregate(spark):
+    """minhash_jvm's k mins must be ONE hash aggregate (one shuffle), not k
+    of them."""
+    from hllspark.sketches.jvm import minhash_jvm
+
+    pages = spark.read.parquet("/root/repo/data/pages_small")
+    out = minhash_jvm(pages, "url", by=["lang"], k=32)
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # agg + (maybe) pandas grouping
