@@ -34,7 +34,14 @@ def make_spark(cores: int):
     s = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"hllspark-bench-{cores}")
-        .config("spark.sql.shuffle.partitions", str(max(8, cores)))
+        # shuffle.partitions WELL ABOVE the core count, and let AQE coalesce
+        # down: with partitions == cores, grouped partial aggregates
+        # ANTI-SCALE on this box (measured: plain Spark groupBy(16k keys)
+        # over 64M rows runs 1.9s at local[32]/sp=32 vs 0.92s at sp=256,
+        # and slower than local[8]; our register reduction shows the same).
+        # AQE can merge small shuffles but can never split an
+        # under-partitioned one.
+        .config("spark.sql.shuffle.partitions", "256")
         .config("spark.sql.adaptive.enabled", "true")
         # task.cpus=1: since round 2 the default engines keep the hot path
         # entirely in whole-stage-codegen JVM (no Python workers on the big
