@@ -185,16 +185,18 @@ def _make_builder(
             arrays.append(pa.array(vals, type=typ))
             names.append(c)
         # NULL contract (hyperloglog_counter.c:218-220, 511-513): a group whose
-        # every value was NULL yields SQL NULL, not an empty sketch.  Applies
-        # to the HLL path; custom Sketch factories keep their empty state
-        # (their protocols define empty semantics themselves).
+        # every value was NULL yields SQL NULL, not an empty sketch — for
+        # HLL AND the sibling sketches (they "follow the HLL contract",
+        # sketches/__init__), so every engine produces the same row set.
         # HLL partials ship group-varint-compressed sparse payloads (the
         # hyperloglog_comp finalfunc role, greenplum.sql:327): ~2.6 B/entry
         # instead of 4 on the partial shuffle; the merge phase re-expands.
         def emit(k):
+            if k not in touched:
+                return None
             if factory is not None:
                 return states[k].to_bytes()
-            return states[k].to_bytes(compress=True) if k in touched else None
+            return states[k].to_bytes(compress=True)
 
         arrays.append(pa.array([emit(k) for k in keys], type=pa.binary()))
         names.append("sketch")
@@ -974,6 +976,11 @@ def sketch_jvm_distributed(
     # heavy reduction), is keyed on the RDD object (no cross-query reuse),
     # and its blocks are GC-cleaned when the result goes out of scope.
     # Output is tiny: one row per group key.
+    # Trade-off: checkpoint blocks have no lineage fallback — on a cluster,
+    # losing an executor between materialization and consumption fails the
+    # query (retry re-runs it) instead of recomputing; avoid aggressive
+    # dynamic-allocation downscaling mid-query, per Spark's own
+    # localCheckpoint guidance.
     pass1 = regs.groupBy(*by).applyInPandas(assemble_dense, schema=pass1_schema).localCheckpoint(eager=True)
     done = pass1.filter(~F.col("__defer")).drop("__defer")
     flagged = pass1.filter(F.col("__defer")).select(*by)

@@ -276,13 +276,24 @@ def dedup_near(
     O(log component-diameter) rounds), keep the component's min id."""
     pairs = verified_pairs(df, id_col, text_col, threshold=threshold, **kw).select("a", "b")
     # label[x] = min id reachable; init label = min(neighbor ids, self).
-    # One localCheckpoint AFTER the symmetrization (not on pairs itself):
-    # edges is what every propagation round re-reads, checkpointing is
+    # Symmetrize via explode (each pair read ONCE — a self-union would run
+    # the candidate+verify plan twice), then one localCheckpoint: edges is
+    # what every propagation round re-reads, and checkpointing is
     # object-keyed (no cross-query plan reuse, GC-cleaned — cache() was
-    # neither), and checkpointing pairs first then column-swap-unioning it
-    # trips a Spark optimizer attribute-resolution bug.  The expensive
-    # shared subtree (signatures) is checkpointed inside verified_pairs.
-    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(eager=True)
+    # neither).  Checkpointing pairs first and column-swap-unioning it also
+    # trips a Spark optimizer attribute-resolution bug.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .localCheckpoint(eager=True)
+    )
     # localCheckpoint per round: the iterative joins would otherwise build an
     # O(2^rounds) lineage that at scale stalls planning and recovery; the
     # label table (only docs appearing in a pair) is small relative to df

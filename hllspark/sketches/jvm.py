@@ -51,9 +51,14 @@ def _keyrow(pdf: pd.DataFrame, by: Sequence[str]) -> dict:
 
 
 def _hashed(df: DataFrame, value_col: str, by: Sequence[str]) -> DataFrame:
+    """NULL values keep a NULL hash: they must flow through the reduction as
+    (key, NULL) rows so a group whose EVERY value is NULL still surfaces —
+    and yields a SQL NULL sketch, the reference's strict-aggregate contract
+    (hyperloglog_counter.c:511-513), matching the python engine's
+    touched-keys rule (agg.py build_partials)."""
     from ..agg import jvm_hash_expr
 
-    return df.select(*by, jvm_hash_expr(df, value_col).alias("__h")).filter(F.col("__h").isNotNull())
+    return df.select(*by, jvm_hash_expr(df, value_col).alias("__h"))
 
 
 def _out_schema(df: DataFrame, by: Sequence[str]) -> StructType:
@@ -79,22 +84,27 @@ def countmin_jvm(
     ).select(*by, F.col("c.j").alias("__j"), F.col("c.bucket").alias("__b"))
     counted = cells.groupBy(*by, "__j", "__b").agg(F.count("*").alias("__n"))
 
-    def fill(st: CountMin, j: np.ndarray, b: np.ndarray, n: np.ndarray) -> None:
+    def build(pdf: pd.DataFrame) -> bytes | None:
+        # NULL-valued rows arrive as NULL buckets; a key with zero non-NULL
+        # values yields a SQL NULL sketch (reference strict-agg contract)
+        valid = pdf["__b"].notna()
+        if not valid.any():
+            return None
+        st = CountMin.create(width=width, depth=depth, hash_kind=HASH_XXHASH_SPARK)
+        j = pdf.loc[valid, "__j"].to_numpy(np.float64).astype(np.int64)
+        b = pdf.loc[valid, "__b"].to_numpy(np.float64).astype(np.int64)
+        n = pdf.loc[valid, "__n"].to_numpy(np.float64).astype(np.int64)
         st.counts[j, b] = n.astype(np.uint64)  # (j, b) unique after groupBy
         st.total = int(n[j == 0].sum())  # every row lands exactly one j=0 cell
+        return st.to_bytes()
 
     if not by:
         # global: the state is bounded (≤ d×w rows) — assemble on the driver
         pdf = counted.toArrow().to_pandas()
-        st = CountMin.create(width=width, depth=depth, hash_kind=HASH_XXHASH_SPARK)
-        if len(pdf):
-            fill(st, pdf["__j"].to_numpy(np.int64), pdf["__b"].to_numpy(np.int64), pdf["__n"].to_numpy(np.int64))
-        return spark.createDataFrame([(st.to_bytes(),)], _out_schema(df, []))
+        return spark.createDataFrame([(build(pdf),)], _out_schema(df, []))
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        st = CountMin.create(width=width, depth=depth, hash_kind=HASH_XXHASH_SPARK)
-        fill(st, pdf["__j"].to_numpy(np.int64), pdf["__b"].to_numpy(np.int64), pdf["__n"].to_numpy(np.int64))
-        return pd.DataFrame({**_keyrow(pdf, by), "sketch": [st.to_bytes()]})
+        return pd.DataFrame({**_keyrow(pdf, by), "sketch": [build(pdf)]})
 
     return counted.groupBy(*by).applyInPandas(assemble, schema=_out_schema(df, by))
 
@@ -125,21 +135,23 @@ def bloom_jvm(
         .agg(F.count("*").alias("__n"))
     )
 
-    def fill(bf: Bloom, idx: np.ndarray, n: np.ndarray) -> None:
+    def build(pdf: pd.DataFrame) -> bytes | None:
+        valid = pdf["__bit"].notna()
+        if not valid.any():
+            return None  # all-NULL values → SQL NULL sketch
+        bf = Bloom.create(m_bits=m_bits, k=k, hash_kind=HASH_XXHASH_SPARK)
+        idx = pdf.loc[valid, "__bit"].to_numpy(np.float64).astype(np.int64)
+        n = pdf.loc[valid, "__n"].to_numpy(np.float64).astype(np.int64)
         np.bitwise_or.at(bf.bits, idx >> 3, (np.uint8(1) << (idx & 7).astype(np.uint8)))
         bf.n_added = int(n.sum()) // k
+        return bf.to_bytes()
 
     if not by:
         pdf = bits.toArrow().to_pandas()
-        bf = Bloom.create(m_bits=m_bits, k=k, hash_kind=HASH_XXHASH_SPARK)
-        if len(pdf):
-            fill(bf, pdf["__bit"].to_numpy(np.int64), pdf["__n"].to_numpy(np.int64))
-        return spark.createDataFrame([(bf.to_bytes(),)], _out_schema(df, []))
+        return spark.createDataFrame([(build(pdf),)], _out_schema(df, []))
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        bf = Bloom.create(m_bits=m_bits, k=k, hash_kind=HASH_XXHASH_SPARK)
-        fill(bf, pdf["__bit"].to_numpy(np.int64), pdf["__n"].to_numpy(np.int64))
-        return pd.DataFrame({**_keyrow(pdf, by), "sketch": [bf.to_bytes()]})
+        return pd.DataFrame({**_keyrow(pdf, by), "sketch": [build(pdf)]})
 
     return bits.groupBy(*by).applyInPandas(assemble, schema=_out_schema(df, by))
 
@@ -147,9 +159,13 @@ def bloom_jvm(
 def _value_counts(df: DataFrame, value_col: str, by: Sequence[str]) -> DataFrame:
     """groupBy(key, value).count() with the value canonicalized to double —
     the whole reduction is a Catalyst hash aggregate with map-side combine,
-    so each partition ships at most its LOCAL distinct values."""
+    so each partition ships at most its LOCAL distinct values.
+
+    NULL (and NaN, which no quantile sketch ingests) values collapse to a
+    single (key, NULL) row so all-NULL groups still surface downstream."""
     v = F.col(value_col).cast("double")
-    vals = df.select(*by, v.alias("__v")).filter(F.col("__v").isNotNull() & ~F.isnan("__v"))
+    v = F.when(F.isnan(v), F.lit(None)).otherwise(v)
+    vals = df.select(*by, v.alias("__v"))
     return vals.groupBy(*by, "__v").agg(F.count("*").alias("__n"))
 
 
@@ -174,21 +190,24 @@ def _quantile_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None, make,
     schema_src = df if by else df.withColumn(g, F.lit(True))
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        valid = pdf["__v"].notna()
+        if not valid.any():
+            # zero ingestible values → SQL NULL sketch (strict-agg contract)
+            return pd.DataFrame({**_keyrow(pdf, keys), "sketch": [None]})
         st = make()
-        v = pdf["__v"].to_numpy(np.float64)
-        n = pdf["__n"].to_numpy(np.int64)
+        v = pdf.loc[valid, "__v"].to_numpy(np.float64)
+        n = pdf.loc[valid, "__n"].to_numpy(np.float64).astype(np.int64)
         order = np.argsort(v, kind="stable")  # shuffle order → canonical order
         insert(st, v[order], n[order])
         return pd.DataFrame({**_keyrow(pdf, keys), "sketch": [st.to_bytes()]})
 
     out = counted.groupBy(*keys).applyInPandas(assemble, schema=_out_schema(schema_src, keys))
     if not by:
-        # zero non-null input rows → the dummy group never exists; restore a
-        # single row carrying an empty sketch (total == 0)
+        # zero input rows → the dummy group never exists; restore a single
+        # row with a SQL NULL sketch (aggregate over zero rows)
         spark = df.sparkSession
         one = spark.range(1).select(F.lit(True).alias(g))
         out = one.join(F.broadcast(out), on=g, how="left").drop(g)
-        out = out.withColumn("sketch", F.coalesce(F.col("sketch"), F.lit(bytearray(make().to_bytes()))))
     return out
 
 
@@ -233,19 +252,23 @@ def minhash_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None = None, 
     engine with jvm_prehash=True / hash_kind=HASH_XXHASH_SPARK, whose remix
     (minhash._remix_spark) replays the same xxhash64 chain (tested).
 
-    Keys whose every value is NULL vanish (no signature over zero items),
-    matching countmin_jvm/bloom_jvm family behavior.
+    A key (or a keyless aggregate) whose every value is NULL yields a SQL
+    NULL sketch — the strict-aggregate contract shared by every engine.
     """
     from .minhash import MinHash
 
     by = list(by or [])
     hdf = _hashed(df, value_col, by)
+    # xxhash64 SKIPS null inputs (folds only the remaining args) rather than
+    # returning NULL — an unguarded NULL __h row would contribute a real
+    # value and poison the min
+    notnull = F.col("__h").isNotNull()
     agged = hdf.groupBy(*by).agg(
         *[
-            F.min(F.xxhash64(F.col("__h"), F.lit(j)).bitwiseXOR(F.lit(_SMIN))).alias(f"__m{j}")
+            F.min(F.when(notnull, F.xxhash64(F.col("__h"), F.lit(j)).bitwiseXOR(F.lit(_SMIN)))).alias(f"__m{j}")
             for j in range(1, k + 1)
         ],
-        F.count("*").alias("__n"),
+        F.count("__h").alias("__n"),  # non-NULL values only
     )
     # un-flip the sign bit → true uint64 bit patterns, pack as one array col
     sig_arr = F.array(*[F.col(f"__m{j}").bitwiseXOR(F.lit(_SMIN)) for j in range(1, k + 1)])
@@ -254,8 +277,13 @@ def minhash_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None = None, 
     def to_sketch(sig: pd.Series, n: pd.Series) -> pd.Series:
         out = []
         for s, cnt in zip(sig, n):
+            if int(cnt) == 0:
+                # mins are NULL (NaN here) — emitting them would cast to
+                # 0x8000... and silently clamp future merges
+                out.append(None)
+                continue
             mh = MinHash(k, np.asarray(s, dtype=np.int64).view(np.uint64).copy(), int(cnt), HASH_XXHASH_SPARK)
             out.append(mh.to_bytes())
-        return pd.Series(out)
+        return pd.Series(out, dtype=object)
 
     return agged.select(*by, to_sketch(sig_arr, F.col("__n")).alias("sketch"))

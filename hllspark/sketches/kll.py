@@ -49,20 +49,27 @@ class KLL:
     # -- compaction ------------------------------------------------------------
 
     def _compact(self) -> None:
-        depth = len(self.levels)
-        for h in range(depth):
-            cap = _capacity(self.k, max(depth, h + 2), h)
-            if len(self.levels[h]) <= cap:
-                continue
-            buf = np.sort(self.levels[h], kind="stable")
-            offset = self.compactions & 1  # deterministic alternating coin
-            self.compactions += 1
-            promoted = buf[offset::2]
-            self.levels[h] = np.empty(0, np.float64)
-            if h + 1 == len(self.levels):
-                self.levels.append(np.empty(0, np.float64))
-            self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
-            depth = len(self.levels)
+        # loop until NO level overflows: a promotion can overflow the level
+        # above (including one created mid-pass), and a single range() walk
+        # would leave it uncompacted — with bulk weighted inserts that made
+        # the sketch unbounded (a 1M-distinct kll_jvm build retained 500k
+        # items in a never-visited level)
+        changed = True
+        while changed:
+            changed = False
+            for h in range(len(self.levels)):
+                cap = _capacity(self.k, max(len(self.levels), h + 2), h)
+                if len(self.levels[h]) <= cap:
+                    continue
+                buf = np.sort(self.levels[h], kind="stable")
+                offset = self.compactions & 1  # deterministic alternating coin
+                self.compactions += 1
+                promoted = buf[offset::2]
+                self.levels[h] = np.empty(0, np.float64)
+                if h + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+                changed = True
 
     def update_values(self, vals: np.ndarray) -> None:
         vals = np.asarray(vals, dtype=np.float64)

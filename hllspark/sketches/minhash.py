@@ -18,7 +18,12 @@ import numpy as np
 from ..core.hash import hash_arrow_array
 
 _HEADER = struct.Struct("<BBHq")  # version, hash_kind, k, n_added
-_VERSION = 1
+# v2: the hash_kind=1 (Spark-xxhash) slot remix changed from splitmix64 to
+# the xxhash64(h, j) chain (what the JVM builder can evaluate natively under
+# ANSI mode).  v1 blobs with hash_kind=1 used the old remix and must not be
+# silently compared/merged with v2 signatures; murmur (hash_kind=0) blobs
+# are remix-unchanged and decode fine.
+_VERSION = 2
 _MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
@@ -106,6 +111,11 @@ class MinHash:
         version, hash_kind, k, n_added = _HEADER.unpack_from(data, 0)
         if version > _VERSION:
             raise ValueError(f"unsupported minhash version {version}")
+        if version < 2 and hash_kind == 1:
+            raise ValueError(
+                "minhash v1 blobs with hash_kind=1 used the splitmix64 remix; "
+                "v2 derives slots via the xxhash64(h, j) chain — rebuild the sketch"
+            )
         sig = np.frombuffer(data, dtype="<u8", count=k, offset=_HEADER.size).astype(np.uint64)
         return cls(k, sig, n_added, hash_kind)
 

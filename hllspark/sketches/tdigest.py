@@ -75,15 +75,7 @@ class TDigest:
 
     def update_values(self, vals: np.ndarray) -> None:
         vals = np.asarray(vals, dtype=np.float64)
-        vals = vals[np.isfinite(vals)]
-        if len(vals) == 0:
-            return
-        self.vmin = min(self.vmin, float(vals.min()))
-        self.vmax = max(self.vmax, float(vals.max()))
-        m = np.concatenate([self.means, vals])
-        w = np.concatenate([self.weights, np.ones(len(vals))])
-        order = np.argsort(m, kind="stable")
-        self._compress(m[order], w[order])
+        self.update_weighted(vals, np.ones(len(vals)))
 
     def update_weighted(self, vals: np.ndarray, weights: np.ndarray) -> None:
         """Insert pre-aggregated (value, weight) pairs — the JVM-builder path

@@ -85,9 +85,9 @@ def test_tdigest_jvm_builder(spark, sf01_dir):
     a = bytes(tdigest_jvm(li.repartition(3), "l_extendedprice").first()["sketch"])
     b = bytes(tdigest_jvm(li.repartition(17), "l_extendedprice").first()["sketch"])
     assert a == b
-    # zero rows → single row, empty sketch
-    empty = TDigest.from_bytes(bytes(tdigest_jvm(li.filter("l_extendedprice < 0"), "l_extendedprice").first()["sketch"]))
-    assert empty.total == 0
+    # zero rows → single row, SQL NULL sketch (strict-aggregate contract)
+    row = tdigest_jvm(li.filter("l_extendedprice < 0"), "l_extendedprice").first()
+    assert row["sketch"] is None
 
 
 def test_kll_jvm_builder_grouped(spark, sf01_dir):
@@ -125,3 +125,49 @@ def test_kll_weighted_insert_lossless():
     for q in (0.25, 0.5, 0.75):
         rank = np.searchsorted(s, kw.quantile(q), side="right") / len(s)
         assert abs(rank - q) < 0.05, (q, rank)
+
+
+def test_kll_weighted_bulk_stays_bounded():
+    """Regression: a bulk weighted insert whose promotions overflow levels
+    created mid-compaction must cascade until every level fits — a 1M-value
+    insert once retained 500k items in a never-visited level (4 MB blob)."""
+    k = KLL.create(k=200)
+    vals = np.arange(1_000_000, dtype=np.float64)
+    k.update_weighted(vals, np.ones(1_000_000, dtype=np.int64))
+    assert len(k.to_bytes()) < 20_000
+    assert k.total == 1_000_000
+    for q in (0.25, 0.5, 0.75):
+        assert abs(k.quantile(q) / 1_000_000 - q) < 0.05
+
+
+def test_jvm_builders_null_contract(spark):
+    """Every JVM builder must emit a (key, NULL sketch) row for a group
+    whose values are all NULL — same row set as the python engine — and a
+    single NULL-sketch row for an all-NULL or empty global aggregate."""
+    from hllspark import agg
+    from hllspark.core.hll import HASH_XXHASH_SPARK
+    from hllspark.sketches.jvm import bloom_jvm, countmin_jvm, kll_jvm, minhash_jvm, tdigest_jvm
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", None), ("b", None)], "k string, v double"
+    )
+    for name, fn in (
+        ("tdigest", lambda: tdigest_jvm(df, "v", by=["k"])),
+        ("kll", lambda: kll_jvm(df, "v", by=["k"])),
+        ("countmin", lambda: countmin_jvm(df, "v", by=["k"], width=256, depth=3)),
+        ("bloom", lambda: bloom_jvm(df, "v", by=["k"], m_bits=1 << 12, k=3)),
+        ("minhash", lambda: minhash_jvm(df, "v", by=["k"], k=16)),
+    ):
+        rows = {r["k"]: r["sketch"] for r in fn().collect()}
+        assert set(rows) == {"a", "b"}, (name, rows)
+        assert rows["a"] is not None and rows["b"] is None, name
+    # python engine emits the same row set with NULL for the all-NULL key
+    py = {r["k"]: r["sketch"] for r in agg.sketch_generic(
+        df, "v", lambda: TDigest.create(), TDigest, by=["k"]).collect()}
+    assert set(py) == {"a", "b"} and py["b"] is None
+    # empty / all-NULL global → one row, NULL sketch (no 0x8000... slots)
+    empty = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    assert minhash_jvm(empty, "v", k=8).first()["sketch"] is None
+    allnull = spark.range(4).select(F.lit(None).cast("double").alias("v"))
+    assert minhash_jvm(allnull, "v", k=8).first()["sketch"] is None
+    assert tdigest_jvm(allnull, "v").first()["sketch"] is None
