@@ -242,14 +242,39 @@ def canon_xxhash_col(df: DataFrame, value_col: str):
     8-byte path' a representation-independent invariant on both sides.
     """
     col = F.col(value_col)
-    if dict(df.dtypes).get(value_col, "") in _NARROW_INTS:
+    if _sql_dtype(df, value_col) in _NARROW_INTS:
         col = col.cast("long")
     return col
 
 
+def pd_keyrow(pdf: pd.DataFrame, by: Sequence[str]) -> dict:
+    """First row's group-key values for an applyInPandas return, with
+    pandas' degraded NULLs (NaN/NaT/pd.NA on nullable dtypes) normalized
+    back to None.  Shared by every per-key assembly (HLL distributed pass
+    and the sibling JVM builders) so NULL-key handling has one home."""
+    out = {}
+    for c in by:
+        v = pdf[c].iloc[0]
+        out[c] = [None if pd.isna(v) else v]
+    return out
+
+
+def _sql_dtype(df: DataFrame, value_col: str) -> str:
+    """Column dtype resolved the way Spark resolves names (case-insensitive
+    by default) — a dict(df.dtypes) lookup misses case variants and would
+    silently skip canonicalization, diverging builder and probe hashes."""
+    return df.select(value_col).schema[0].dataType.simpleString()
+
+
 def jvm_hash_expr(df: DataFrame, value_col: str):
     """NULL-preserving, type-canonicalized JVM hash of a column
-    (xxhash64 of NULL would yield the seed, so guard explicitly)."""
+    (xxhash64 of NULL would yield the seed, so guard explicitly).
+
+    The integral canonicalization is part of the hash_kind=1 DEFINITION for
+    STRUCT_VERSION 2 sketches: narrow ints always hash in the 8-byte long
+    domain.  Any future change to this domain must bump the version — mixed
+    domains under one hash_kind merge without error and silently double-
+    count."""
     col = canon_xxhash_col(df, value_col)
     return F.when(F.col(value_col).isNull(), None).otherwise(F.xxhash64(col))
 
@@ -264,9 +289,8 @@ def _apply_jvm_prehash(df: DataFrame, value_col: str, by: Sequence[str], jvm_pre
     """
     from .core.hll import HASH_XXHASH_SPARK
 
-    dtype = dict(df.dtypes).get(value_col, "")
     if jvm_prehash == "auto":
-        jvm_prehash = dtype in _STRINGY
+        jvm_prehash = _sql_dtype(df, value_col) in _STRINGY
     if not jvm_prehash:
         return df, value_col, "auto", 0
     hcol = f"__hll_h_{value_col}"
@@ -799,8 +823,13 @@ def _sketch_jvm_states(
             # (hyperloglog_counter.c:511-513)
             out[k] = None
             continue
-        if encs is not None and len(encs) <= cap and len(rows) <= cap:
-            sk = HLL(b, binbits, np.unique(np.array(encs, dtype=np.int64).astype(np.uint32)), None, HASH_XXHASH_SPARK)
+        if (encs is not None or not rows) and len(encs or ()) <= cap and len(rows) <= cap:
+            # includes the chain-only key (rows and encodings both empty):
+            # start from the empty SPARSE state so the byte form matches the
+            # python engine and the distributed assembly
+            sk = HLL(
+                b, binbits, np.unique(np.array(encs or [], dtype=np.int64).astype(np.uint32)), None, HASH_XXHASH_SPARK
+            )
         else:
             dense = np.zeros(1 << b, dtype=np.uint8)
             if rows:
@@ -936,16 +965,18 @@ def sketch_jvm_distributed(
         return e
 
     def keyrow(pdf: pd.DataFrame) -> dict:
-        # pandas degrades NULL-bearing int64/timestamp key columns to
-        # float64 NaN / NaT — normalize back to None for the Arrow return
-        out = {}
-        for c in by:
-            v = pdf[c].iloc[0]
-            out[c] = [None if v is None or v != v else v]
-        return out
+        return pd_keyrow(pdf, by)
 
     key_fields = _nullable_key_fields(df, by)
-    pass1_schema = StructType(key_fields + [out_field, StructField("__defer", BooleanType(), False)])
+    # __defer: 0 = finished in pass 1; 1 = maybe-sparse, pass 2 needs this
+    # key's distinct encodings (+ any chain rows); 2 = dense WITH rho-chain
+    # rows — the dense partial is complete here (__partial), pass 2 only
+    # replays the (astronomically rare) chain rows, NEVER the full
+    # distinct-encode of a hot key
+    pass1_schema = StructType(
+        key_fields
+        + [out_field, StructField("__defer", IntegerType(), False), StructField("__partial", BinaryType(), True)]
+    )
     out_schema = StructType(key_fields + [out_field])
     vname = out_field.name
 
@@ -956,8 +987,8 @@ def sketch_jvm_distributed(
         nvalid = int(valid.sum())
         if nvalid == 0 and nchain == 0:
             # key whose every value was NULL → SQL NULL (reference contract)
-            return pd.DataFrame({**key, vname: [emit(None)], "__defer": [False]})
-        if nvalid > cap and nchain == 0:
+            return pd.DataFrame({**key, vname: [emit(None)], "__defer": [0], "__partial": [None]})
+        if nvalid > cap:
             dense = np.zeros(1 << bb, dtype=np.uint8)
             np.maximum.at(
                 dense,
@@ -965,9 +996,11 @@ def sketch_jvm_distributed(
                 np.minimum(pdf.loc[valid, "__rho"].to_numpy(dtype=np.float64).astype(np.int64), 255).astype(np.uint8),
             )
             sk = HLL(bb, bbin, None, dense, HASH_XXHASH_SPARK)
-            return pd.DataFrame({**key, vname: [emit(sk)], "__defer": [False]})
-        # maybe-sparse (or has chain rows) → defer to pass 2
-        return pd.DataFrame({**key, vname: [None], "__defer": [True]})
+            if nchain == 0:
+                return pd.DataFrame({**key, vname: [emit(sk)], "__defer": [0], "__partial": [None]})
+            return pd.DataFrame({**key, vname: [None], "__defer": [2], "__partial": [sk.to_bytes()]})
+        # maybe-sparse (with or without chain rows) → pass 2 re-encodes
+        return pd.DataFrame({**key, vname: [None], "__defer": [1], "__partial": [None]})
 
     # localCheckpoint, NOT cache(): cache is keyed on the LOGICAL PLAN, so a
     # later identical query would silently reuse this result (skipping the
@@ -982,41 +1015,56 @@ def sketch_jvm_distributed(
     # dynamic-allocation downscaling mid-query, per Spark's own
     # localCheckpoint guidance.
     pass1 = regs.groupBy(*by).applyInPandas(assemble_dense, schema=pass1_schema).localCheckpoint(eager=True)
-    done = pass1.filter(~F.col("__defer")).drop("__defer")
-    flagged = pass1.filter(F.col("__defer")).select(*by)
+    done = pass1.filter(F.col("__defer") == 0).select(*by, vname)
+    flag_sparse = pass1.filter(F.col("__defer") == 1).select(*by)
+    flag_any = pass1.filter(F.col("__defer") != 0).select(*by)
 
     # pass1 is already materialized — the emptiness decision is free
-    if flagged.isEmpty():
+    if flag_any.isEmpty():
         return done
 
     def assemble_sparse(pdf: pd.DataFrame) -> pd.DataFrame:
         key = keyrow(pdf)
-        encs = np.unique(
-            pdf.loc[pdf["__enc"].notna(), "__enc"].to_numpy(dtype=np.float64).astype(np.int64).astype(np.uint32)
-        )
         # chain hashes travel as decimal strings: a nullable int64 column
         # becomes float64 in pandas and would round hashes above 2^53
         chains = np.array([int(x) for x in pdf["__chain_h"].dropna()], dtype=np.int64)
-        if len(encs) > cap:
-            idxs, rhos = decode_encodes(encs, bb, bbin)
-            dense = np.zeros(1 << bb, dtype=np.uint8)
-            np.maximum.at(dense, idxs, rhos)
-            sk = HLL(bb, bbin, None, dense, HASH_XXHASH_SPARK)
+        partial = pdf["__partial"].dropna()
+        if len(partial):
+            # dense partial from pass 1 — only its chain rows arrive here
+            sk = HLL.from_bytes(bytes(partial.iloc[0]))
         else:
-            sk = HLL(bb, bbin, encs, None, HASH_XXHASH_SPARK)
+            encs = np.unique(
+                pdf.loc[pdf["__enc"].notna(), "__enc"].to_numpy(dtype=np.float64).astype(np.int64).astype(np.uint32)
+            )
+            if len(encs) > cap:
+                idxs, rhos = decode_encodes(encs, bb, bbin)
+                dense = np.zeros(1 << bb, dtype=np.uint8)
+                np.maximum.at(dense, idxs, rhos)
+                sk = HLL(bb, bbin, None, dense, HASH_XXHASH_SPARK)
+            else:
+                # includes the chain-only key (no encodings at all): start
+                # from the empty SPARSE state, as the python engine does
+                sk = HLL(bb, bbin, encs, None, HASH_XXHASH_SPARK)
         if len(chains):
             sk.add_hashes(chains.view(np.uint64))
         return pd.DataFrame({**key, vname: [emit(sk)]})
 
-    # flagged can be any size (all keys, for high-cardinality sparse
+    # flag_sparse can be any size (all keys, for high-cardinality sparse
     # grouping): no broadcast hint — AQE picks broadcast when it fits
+    nulls = (F.lit(None).cast("long").alias("__enc"), F.lit(None).cast("string").alias("__chain_h"))
     enc_rows = (
-        _semi_join_keys(hdf, flagged, by, broadcast=False)
-        .select(*by, F.col("__enc"), F.lit(None).cast("string").alias("__chain_h"))
+        _semi_join_keys(hdf, flag_sparse, by, broadcast=False)
+        .select(*by, F.col("__enc"), nulls[1], F.lit(None).cast("binary").alias("__partial"))
         .distinct()
     )
-    chain_rows = _semi_join_keys(hdf_all.filter(F.col("__chain")), flagged, by, broadcast=False).select(
-        *by, F.lit(None).cast("long").alias("__enc"), F.col("__h").cast("string").alias("__chain_h")
+    chain_rows = _semi_join_keys(hdf_all.filter(F.col("__chain")), flag_any, by, broadcast=False).select(
+        *by, nulls[0], F.col("__h").cast("string").alias("__chain_h"), F.lit(None).cast("binary").alias("__partial")
     )
-    pass2 = enc_rows.unionByName(chain_rows).groupBy(*by).applyInPandas(assemble_sparse, schema=out_schema)
+    partial_rows = pass1.filter(F.col("__defer") == 2).select(*by, nulls[0], nulls[1], F.col("__partial"))
+    pass2 = (
+        enc_rows.unionByName(chain_rows)
+        .unionByName(partial_rows)
+        .groupBy(*by)
+        .applyInPandas(assemble_sparse, schema=out_schema)
+    )
     return done.unionByName(pass2)

@@ -241,9 +241,7 @@ def make_sketch_agg(
             # strict-aggregate NULL contract: an all-NULL group yields SQL
             # NULL, not an empty sketch (hyperloglog_counter.c:511-513)
             return None
-        h = HLL.create(b=rb, binbits=rbin)
-        h.add_hashes(hash_series(vv, input_type))
-        return h.to_bytes()
+        return build_sketch(vv, b=rb, binbits=rbin, input_type=input_type).to_bytes()
 
     return _sketch_agg
 

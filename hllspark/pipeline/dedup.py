@@ -365,7 +365,15 @@ def simhash_near_pairs(
     Hot chunk values (near-empty docs cluster their simhashes around 0) would
     make a naive self-join quadratic: buckets are materialized as member
     lists, and buckets above ``max_bucket`` are salt-split with connectivity
-    chains, exactly like the MinHash-LSH side."""
+    chains, exactly like the MinHash-LSH side.
+
+    Recall trade-off of the split: pair ENUMERATION inside an oversized
+    bucket is no longer exhaustive — a close pair split across sub-buckets
+    is only recovered if the chain edges (sub-bucket minima) also pass the
+    hamming filter, which holds for genuine duplicate CLUSTERS (all members
+    mutually close, the dedup_near use) but not for arbitrary mixed
+    mega-buckets.  Pass a very large ``max_bucket`` to force the exhaustive
+    quadratic join when completeness matters more than boundedness."""
     nchunks = max_hamming + 1
     width = 64 // nchunks
     sh = F.col("simhash")

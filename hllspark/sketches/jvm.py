@@ -42,12 +42,10 @@ def _positions_exprs(hcol, n_rows: int, modulo: int):
 
 
 def _keyrow(pdf: pd.DataFrame, by: Sequence[str]) -> dict:
-    """First row's key values, NaN/NaT (pandas' degraded NULLs) → None."""
-    out = {}
-    for c in by:
-        v = pdf[c].iloc[0]
-        out[c] = [None if v is None or v != v else v]
-    return out
+    """First row's key values, pandas-degraded NULLs → None (shared rule)."""
+    from ..agg import pd_keyrow
+
+    return pd_keyrow(pdf, by)
 
 
 def _hashed(df: DataFrame, value_col: str, by: Sequence[str]) -> DataFrame:
@@ -118,13 +116,10 @@ def bloom_jvm(
 ) -> DataFrame:
     """DataFrame[by..., sketch] of Bloom filters, hot path fully JVM.
 
-    Requires power-of-two ``m_bits``: with an odd double-hash stride the k
-    positions of one row are then collision-free mod m, making
-    n_added = sum(bit counts) / k exact without a second aggregate.
-    (Arbitrary m: use the python engine, agg.sketch_generic.)
+    ``n_added = sum(bit counts) / k`` is exact for ANY m: the explode emits
+    exactly k position rows per input row (duplicates included), so the
+    grouped counts always sum to k × rows.
     """
-    if m_bits & (m_bits - 1):
-        raise ValueError("bloom_jvm requires power-of-two m_bits; use agg.sketch_generic otherwise")
     by = list(by or [])
     spark = df.sparkSession
     hdf = _hashed(df, value_col, by)

@@ -245,3 +245,33 @@ def test_minhash_jvm_byte_parity(spark, sf01_dir):
     assert sa.jaccard(sa2) == 1.0 and bytes(sa.to_bytes()) == bytes(sa2.to_bytes())
     assert sa.jaccard(sb) < 0.05
     assert sa.n_added == 4000
+
+
+def test_chain_rows_byte_parity_all_engines(spark, monkeypatch):
+    """rho-overflow (chain) rows occur with probability ~2^-39/row in
+    production — force them by making the JVM 'hash' the identity, so h=0
+    (every suffix bit zero) chains.  All three assemblies must produce
+    byte-identical sketches to a direct python build over the same hashes:
+    chain-only keys start from the empty SPARSE state, and a dense key WITH
+    a chain row finishes as a pass-1 dense partial + chain replay (never a
+    full re-encode of the hot key)."""
+    import hllspark.agg as A
+    from hllspark.core.hll import HASH_XXHASH_SPARK, HLL
+
+    monkeypatch.setattr(A, "jvm_hash_expr", lambda df, c: F.col(c).cast("long"))
+
+    rng = np.random.RandomState(3)
+    normal = [int(x) for x in rng.randint(1, 2**62, size=2000)]
+    cases = {
+        "chain_only": [0],
+        "sparse_plus_chain": normal[:50] + [0],
+        "dense_plus_chain": normal + [0],
+    }
+    for name, hs in cases.items():
+        df = spark.createDataFrame([(h,) for h in hs], "v long")
+        jvm_d = A.sketch_jvm_distributed(df.withColumn("g", F.lit(1)), "v", ["g"]).first()["sketch"]
+        jvm_drv = A.sketch_jvm(df, "v").first()["sketch"]
+        ref = HLL.create(hash_kind=HASH_XXHASH_SPARK)
+        ref.add_hashes(np.array(hs, dtype=np.int64).view(np.uint64))
+        assert bytes(jvm_d) == ref.to_bytes(), name
+        assert bytes(jvm_drv) == ref.to_bytes(), name
