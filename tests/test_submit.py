@@ -1,0 +1,48 @@
+"""Packaging contract (north_rule: delivered as a spark-submit --py-files
+package): the zip alone must supply the library to a driver launched from
+OUTSIDE the repo tree."""
+
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+
+JOB = """
+from pyspark.sql import SparkSession
+from hllspark import agg
+
+spark = SparkSession.builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+rows = agg.distinct(li, "l_orderkey", by=["l_returnflag"], bigint=True).collect()
+print("SUBMIT_RESULT", sorted((r["l_returnflag"], r["est"]) for r in rows))
+spark.stop()
+"""
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="spark-submit not on PATH")
+def test_spark_submit_py_files(tmp_path):
+    subprocess.run([sys.executable, str(ROOT / "tools" / "make_pyfiles.py")], check=True, cwd=ROOT)
+    job = tmp_path / "job.py"
+    job.write_text(JOB)
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(ROOT / "dist" / "hllspark.zip"),
+            str(job),
+        ],
+        cwd=tmp_path,  # NOT the repo root: only the zip can supply hllspark
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("SUBMIT_RESULT")]
+    assert line and "('A', 1085)" in line[0] and "('N', 1117)" in line[0] and "('R', 1103)" in line[0], line
