@@ -685,8 +685,8 @@ def oracle_sql() -> dict[str, str]:
         # strip tag runs to newlines, trim, and compare to the stored text
         "extract_text_pages": (
             "SELECT count(*) AS n_rows, "
-            "sum(CASE WHEN trim(regexp_replace(CAST(html AS VARCHAR), '(<[^>]*>)+', chr(10), 'g'), chr(10)) = text "
-            f"THEN 1 ELSE 0 END) AS n_byte_identical FROM read_parquet('{pages_glob}')"
+            "CAST(sum(CASE WHEN trim(regexp_replace(CAST(html AS VARCHAR), '(<[^>]*>)+', chr(10), 'g'), chr(10)) = text "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS n_byte_identical FROM read_parquet('{pages_glob}')"
         ),
         # goldens from the reference regression suite, ×10^6 rounded
         # (aggs.ref:32,38,44,50,56; set_ops.ref:57; aggs.ref:1534; aggs.ref:1500-1508)

@@ -39,6 +39,32 @@ def table_repr(cols, rows):
     return [cols[i] for i in order], out
 
 
+# The driver's value hash is TYPE-sensitive even when names match (r2 lesson:
+# DuckDB HUGEINT vs Spark BIGINT hash-mismatch with identical values), so the
+# local gate canonicalizes declared types and flags width drift.
+_SPARK_T = {
+    "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+    "float": "f32", "double": "f64", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bin",
+}
+_DUCK_T = {
+    "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
+    "HUGEINT": "i128", "UTINYINT": "u8", "USMALLINT": "u16", "UINTEGER": "u32",
+    "UBIGINT": "u64", "FLOAT": "f32", "DOUBLE": "f64", "VARCHAR": "str",
+    "BOOLEAN": "bool", "DATE": "date", "TIMESTAMP": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts", "BLOB": "bin",
+}
+
+
+def canon_types(cols, raw_types, mapping):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for i in order:
+        t = str(raw_types[i])
+        out.append(mapping.get(t, mapping.get(t.upper(), t.lower())))
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import duckdb
@@ -80,9 +106,14 @@ def main():
             ocols, orows = list(q.columns), q.fetchall()
             sc, sr = table_repr(scols, [tuple(r) for r in srows])
             oc, orr = table_repr(ocols, orows)
+            stypes = canon_types(scols, [t for _, t in sdf.dtypes], _SPARK_T)
+            otypes = canon_types(ocols, q.types, _DUCK_T)
             ok_cols = sc == oc
             ok_rows = sr == orr
-            status = "OK" if (ok_cols and ok_rows) else "MISMATCH"
+            ok_types = stypes == otypes
+            status = "OK" if (ok_cols and ok_rows and ok_types) else "MISMATCH"
+            if ok_cols and ok_rows and not ok_types:
+                print(f"  {name}: TYPE MISMATCH spark={stypes} oracle={otypes}")
             if status != "OK":
                 failures += 1
                 print(f"  {name}: {status}  cols spark={sc} oracle={oc}")
