@@ -445,6 +445,18 @@ def merge_partials_driver(partials: DataFrame, by: Sequence[str] | None = None, 
     return acc
 
 
+def _udaf_available(spark) -> bool:
+    """Can engine="jvm_udaf" run in this session?  Never raises — any
+    failure (no jar, no JDK, zip-packaged install) routes auto back to the
+    groupBy JVM engine.  Cached per session (hllspark.jvm_udaf)."""
+    try:
+        from . import jvm_udaf
+
+        return jvm_udaf.available(spark)
+    except Exception:
+        return False
+
+
 def sketch(
     df: DataFrame,
     value_col: str,
@@ -463,16 +475,28 @@ def sketch(
     DataFrame[by..., sketch binary].  Precision via b/binbits or the
     reference-style (error_rate, ndistinct) derivation.
 
-    ``engine``: "jvm" keeps the whole reduction in Catalyst (fastest; hashes
-    with xxhash64) and assembles DISTRIBUTED — unbounded key cardinality,
-    and global queries finalize in a single executor task under a dummy key
-    (no driver-side assembly); "jvm_driver" forces driver-side
-    assembly (lowest latency when the key count is known-small);
-    "python" uses the mapInArrow builder (required for murmur
-    reference-parity via input_type/jvm_prehash=False).  "auto" picks jvm
-    when nothing pins the hash function to murmur."""
+    ``engine``: "jvm_udaf" runs the reduction as a single JVM aggregate
+    buffer (TypedImperativeAggregate via functions.udaf — the fastest
+    shape, needs dist/hllspark-udaf.jar loadable in the session, see
+    hllspark.jvm_udaf); "jvm" keeps the whole reduction in Catalyst as a
+    groupBy(key, idx) hash aggregate (no jar needed) and assembles
+    DISTRIBUTED — unbounded key cardinality, and global queries finalize in
+    a single executor task under a dummy key (no driver-side assembly);
+    "jvm_driver" forces driver-side assembly (lowest latency when the key
+    count is known-small); "python" uses the mapInArrow builder (required
+    for murmur reference-parity via input_type/jvm_prehash=False).  "auto"
+    picks jvm_udaf when the jar loads, else jvm, unless something pins the
+    hash function to murmur.  All three xxhash engines emit byte-identical
+    sketches (tests/test_jvm_engine.py)."""
     if engine == "auto":
-        engine = "jvm" if (input_type == "auto" and jvm_prehash in ("auto", True)) else "python"
+        if input_type == "auto" and jvm_prehash in ("auto", True):
+            engine = "jvm_udaf" if _udaf_available(df.sparkSession) else "jvm"
+        else:
+            engine = "python"
+    if engine == "jvm_udaf":
+        from .jvm_udaf import sketch_jvm_udaf
+
+        return sketch_jvm_udaf(df, value_col, by, b, binbits, error_rate, ndistinct)
     if engine == "jvm":
         return sketch_jvm_distributed(df, value_col, by or [], b, binbits, error_rate, ndistinct)
     if engine == "jvm_driver":
@@ -514,7 +538,17 @@ def distinct(
     by = list(by or [])
     spark = df.sparkSession
     if engine == "auto":
-        engine = "jvm" if (input_type == "auto" and jvm_prehash in ("auto", True)) else "python"
+        if input_type == "auto" and jvm_prehash in ("auto", True):
+            engine = "jvm_udaf" if _udaf_available(spark) else "jvm"
+        else:
+            engine = "python"
+    if engine == "jvm_udaf":
+        from .jvm_udaf import sketch_jvm_udaf
+
+        return sketch_jvm_udaf(
+            df, value_col, by, b, binbits,
+            finalize="estimate_bigint" if bigint else "estimate", est_col=est_col,
+        )
     if engine in ("jvm", "jvm_driver"):
         if engine == "jvm":
             # distributed assembly emits estimates directly inside the

@@ -1,0 +1,230 @@
+"""JVM aggregate-buffer HLL engine (`engine="jvm_udaf"`).
+
+The register reduction runs as a typed JVM Aggregator
+(jvm/src/hllsparkjvm/HllRegisterAggregator.java).  Registered through
+``functions.udaf`` Spark wraps it in a ``ScalaAggregator``, which is a
+``TypedImperativeAggregate``: one mutable buffer object per group, updated
+in place per row inside ObjectHashAggregate — the flat-buffer shape of
+Spark's DataSketches aggregates.  Compared to the groupBy(key, __idx)
+register reduction (agg._hll_kernel_frames) this removes the per-row
+composite-key hash-aggregate probe and the key×2^b intermediate row
+explosion, which is the residual flat per-task cost that capped 8→32
+scaling in round 2 (CLAUDE.md round-3 note).
+
+Only the reduction is JVM; canonical serialization stays in Python: the
+aggregator emits a small intermediate blob per group (mode, chain hashes,
+encodings-or-registers) and ``_finalize_blob`` rebuilds the exact
+``core.hll.HLL`` state, so output bytes are identical to the python and
+groupBy-JVM engines by construction (tests/test_jvm_engine.py).
+
+Availability: the session needs ``dist/hllspark-udaf.jar`` on the driver
+classpath — ``configure_builder`` (session creation, preferred) or the
+best-effort runtime ``ADD JAR`` + shared-classloader reflection fallback.
+When neither works callers fall back to ``agg.sketch_jvm_distributed``.
+On a real cluster ship the jar with ``spark.jars`` exactly like the
+--py-files zip (tools/make_pyfiles.py docs).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_AGG_CLASS = "hllsparkjvm.HllRegisterAggregator"
+
+
+def jar_path() -> str:
+    """dist/hllspark-udaf.jar, compiled on demand when a JDK is present."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        from build_jar import build  # type: ignore
+
+        return str(build())
+    finally:
+        sys.path.pop(0)
+
+
+def _to_col(jcol) -> Column:
+    try:
+        from pyspark.sql.classic.column import Column as _C  # pyspark >= 4
+
+        return _C(jcol)
+    except ImportError:  # pragma: no cover - pyspark 3.x
+        return Column(jcol)
+
+
+def _col_seq(spark: SparkSession, cols):
+    from pyspark.sql.classic.column import _to_java_column, _to_seq
+
+    return _to_seq(spark.sparkContext, cols, _to_java_column)
+
+
+def _new_aggregator(spark: SparkSession, b: int, binbits: int):
+    """Instantiate the JVM aggregator, trying (1) the py4j view (class on
+    the driver classpath via spark.jars), then (2) ADD JAR + the session's
+    shared jar classloader via reflection."""
+    jvm = spark._jvm
+    try:
+        agg = jvm.hllsparkjvm.HllRegisterAggregator(b, binbits)
+        # py4j resolves unknown classes to a package stub; poke a method
+        agg.toString()
+        return agg
+    except Exception:
+        pass
+    try:
+        path = jar_path()
+        spark.sql(f"ADD JAR '{path}'")
+        loader = spark._jsparkSession.sharedState().jarClassLoader()
+        cls = loader.loadClass(_AGG_CLASS)
+        ctor = cls.getConstructors()[0]
+        gateway = spark.sparkContext._gateway
+        args = gateway.new_array(jvm.java.lang.Object, 2)
+        args[0] = b
+        args[1] = binbits
+        return ctor.newInstance(args)
+    except Exception:
+        return None
+
+
+_SESSION_CACHE: dict[int, bool] = {}
+
+
+def available(spark: SparkSession) -> bool:
+    """Can this session run the JVM aggregate engine?  Cached per session."""
+    key = id(spark._jsparkSession)
+    if key not in _SESSION_CACHE:
+        _SESSION_CACHE[key] = _new_aggregator(spark, 14, 6) is not None
+    return _SESSION_CACHE[key]
+
+
+def configure_builder(builder, extra_jars: Sequence[str] = ()):
+    """Add the UDAF jar to a SparkSession.Builder (call before getOrCreate).
+
+    The clean path: spark.jars puts the class on both the driver's py4j
+    classloader and the executor classpath (in any deploy mode)."""
+    jars = [jar_path(), *extra_jars]
+    return builder.config("spark.jars", ",".join(jars))
+
+
+def hll_udaf_column(spark: SparkSession, hash_col: Column, b: int, binbits: int) -> Column:
+    """Aggregate Column: intermediate blob of HLL state over a 64-bit hash
+    column (NULL hashes are ignored; an all-NULL group → empty blob)."""
+    jagg = _new_aggregator(spark, b, binbits)
+    if jagg is None:
+        raise RuntimeError(
+            "hllspark-udaf.jar not loadable in this session; create the session "
+            "with hllspark.jvm_udaf.configure_builder or use engine='jvm_distributed'"
+        )
+    jvm = spark._jvm
+    judf = jvm.org.apache.spark.sql.functions.udaf(jagg, jvm.org.apache.spark.sql.Encoders.LONG())
+    return _to_col(judf.apply(_col_seq(spark, [hash_col])))
+
+
+def _blob_to_hll(buf):
+    """Rebuild the exact core.hll.HLL state from the aggregator's blob
+    (format: HllRegisterAggregator.finish docstring).  Returns None for the
+    empty blob (all-NULL or zero-row group → SQL NULL, reference contract)."""
+    from .core.hll import HASH_XXHASH_SPARK, HLL, sparse_capacity
+
+    buf = bytes(buf)
+    version, mode, b, binbits = buf[0], buf[1], buf[2], buf[3]
+    if version != 1:
+        raise ValueError(f"unknown udaf blob version {version}")
+    nchain = int.from_bytes(buf[4:8], "little", signed=True)
+    off = 8
+    chains = np.frombuffer(buf, dtype="<i8", count=nchain, offset=off)
+    off += 8 * nchain
+    if mode == 0:
+        n = int.from_bytes(buf[off : off + 4], "little", signed=True)
+        off += 4
+        encs = np.unique(np.frombuffer(buf, dtype="<u4", count=n, offset=off))
+        if n == 0 and nchain == 0:
+            return None
+        if len(encs) > sparse_capacity(b):
+            # can't arise from the aggregator (it promotes at >cap) but keep
+            # the invariant locally enforced
+            sk = HLL(b, binbits, encs, None, HASH_XXHASH_SPARK)
+            sk._promote()
+        else:
+            sk = HLL(b, binbits, encs, None, HASH_XXHASH_SPARK)
+    else:
+        regs = np.frombuffer(buf, dtype=np.uint8, count=1 << b, offset=off).copy()
+        sk = HLL(b, binbits, None, regs, HASH_XXHASH_SPARK)
+    if nchain:
+        sk.add_hashes(chains.view(np.uint64))
+    return sk
+
+
+def _finalize_udf(finalize: str):
+    if finalize == "sketch":
+
+        @pandas_udf("binary")
+        def fin(blobs: pd.Series) -> pd.Series:
+            return blobs.map(
+                lambda v: None if v is None else (lambda sk: None if sk is None else sk.to_bytes())(_blob_to_hll(v))
+            )
+
+        return fin
+    if finalize == "estimate":
+
+        @pandas_udf("double")
+        def fin(blobs: pd.Series) -> pd.Series:
+            def est(v):
+                sk = None if v is None else _blob_to_hll(v)
+                return None if sk is None else sk.estimate()
+
+            return blobs.map(est)
+
+        return fin
+    if finalize == "estimate_bigint":
+
+        @pandas_udf("long")
+        def fin(blobs: pd.Series) -> pd.Series:
+            def est(v):
+                sk = None if v is None else _blob_to_hll(v)
+                return 0 if sk is None else int(round(sk.estimate()))
+
+            return blobs.map(est)
+
+        return fin
+    raise ValueError(f"unknown finalize {finalize!r}")
+
+
+def sketch_jvm_udaf(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    b: int | None = None,
+    binbits: int | None = None,
+    error_rate: float | None = None,
+    ndistinct: float | None = None,
+    finalize: str = "sketch",
+    est_col: str = "est",
+) -> DataFrame:
+    """HLL aggregation with the reduction in a single JVM aggregate buffer.
+
+    Plan shape:  scan → project xxhash64 → ObjectHashAggregate(partial)
+    → shuffle ONE buffer row per (partition, key) → final merge → one tiny
+    Python stage (rows == groups) for canonical serialization/estimates.
+    Byte-identical output to the python and groupBy-JVM engines (tested).
+    """
+    from .agg import jvm_hash_expr
+    from .functions import resolve_params
+
+    b, binbits = resolve_params(b, binbits, error_rate, ndistinct)
+    by = list(by or [])
+    spark = df.sparkSession
+    acol = hll_udaf_column(spark, jvm_hash_expr(df, value_col), b, binbits)
+    gb = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
+    agged = gb.agg(acol.alias("__blob"))
+    fin = _finalize_udf(finalize)
+    outname = "sketch" if finalize == "sketch" else est_col
+    return agged.select(*by, fin(F.col("__blob")).alias(outname))

@@ -1,0 +1,298 @@
+package hllsparkjvm;
+
+import java.io.Externalizable;
+import java.io.IOException;
+import java.io.ObjectInput;
+import java.io.ObjectOutput;
+import java.nio.ByteBuffer;
+import java.nio.ByteOrder;
+
+import org.apache.spark.sql.Encoder;
+import org.apache.spark.sql.Encoders;
+import org.apache.spark.sql.expressions.Aggregator;
+
+/**
+ * HLL register reduction as a typed Spark Aggregator.
+ *
+ * Registered through functions.udaf(...) this becomes a ScalaAggregator,
+ * which is a TypedImperativeAggregate: the buffer below lives as a plain
+ * JVM object inside ObjectHashAggregate and is mutated in place per row —
+ * the flat-register-array shape of spark-datasketches aggregates, with
+ * none of the per-row (key, idx) tuple explosion of the groupBy(key, idx)
+ * register reduction.
+ *
+ * Semantics mirror the reference's sparse-to-dense counter bit-exactly
+ * (hyperloglog.c:678-755 encode/decode, hllutils.c:112-116 capacity):
+ *
+ *  - input is the canonicalized NULL-preserving xxhash64 of the value
+ *    (hllspark.agg.jvm_hash_expr) — NULLs are ignored here, so an
+ *    all-NULL group yields an EMPTY buffer which the Python finalize
+ *    turns into a SQL NULL sketch (the reference NULL contract);
+ *  - rows whose post-p' suffix is all zero (probability ~2^-(64-p'))
+ *    would enter the reference's murmur rehash chain; they are collected
+ *    verbatim and replayed through the exact Python kernels at finalize,
+ *    like the groupBy-engine's chain pass (hllspark/agg.py);
+ *  - sparse state is a SET of 32-bit encodings; promotion to a dense
+ *    byte[2^b] happens strictly when the unique count exceeds
+ *    sparse_capacity(b), so the final mode is a pure function of the
+ *    value set — merge order between partitions cannot change it.
+ *
+ * finish() emits an intermediate blob (mode, chains, encodes-or-registers);
+ * canonical sketch serialization stays in Python (hllspark.core.hll), so
+ * byte parity with the other engines is inherited rather than duplicated.
+ */
+public final class HllRegisterAggregator
+    extends Aggregator<Long, HllRegisterAggregator.Buf, byte[]> {
+
+  private static final long serialVersionUID = 1L;
+
+  private final int b;
+  private final int binbits;
+
+  public HllRegisterAggregator(int b, int binbits) {
+    this.b = b;
+    this.binbits = binbits;
+  }
+
+  /** Max sparse entries: 2^(b-4) - 4 (hllutils.c:112-116; 1020 at b=14). */
+  static int sparseCapacity(int b) {
+    int c = (1 << (b - 4)) - 4;
+    return Math.max(0, c);
+  }
+
+  public static final class Buf implements Externalizable {
+    private static final long serialVersionUID = 1L;
+
+    int b;
+    int binbits;
+    int cap;
+    byte[] dense;   // null while sparse
+    int[] table;    // open-addressing set of encodings; 0 == empty (enc 0 is unreachable)
+    int n;          // live entries in table
+    long[] chains;  // raw hashes needing the murmur rehash chain (rare)
+    int nchain;
+
+    public Buf() {}
+
+    Buf(int b, int binbits) {
+      this.b = b;
+      this.binbits = binbits;
+      this.cap = sparseCapacity(b);
+      this.table = new int[64];
+    }
+
+    private static int smear(int x) {
+      x *= 0x9E3779B9;
+      return x ^ (x >>> 16);
+    }
+
+    private void insertSparse(int enc) {
+      int m = table.length - 1;
+      int i = smear(enc) & m;
+      while (true) {
+        int cur = table[i];
+        if (cur == enc) return;
+        if (cur == 0) {
+          table[i] = enc;
+          n++;
+          if (n * 4 >= table.length * 3) grow();
+          return;
+        }
+        i = (i + 1) & m;
+      }
+    }
+
+    private void grow() {
+      int[] old = table;
+      table = new int[old.length * 2];
+      int m = table.length - 1;
+      for (int e : old) {
+        if (e == 0) continue;
+        int i = smear(e) & m;
+        while (table[i] != 0) i = (i + 1) & m;
+        table[i] = e;
+      }
+    }
+
+    /** sparse_to_dense decode of one encoding (hyperloglog.c:741-755),
+     *  identical to hllspark.core.hll.decode_encodes. */
+    void decodeIntoDense(int enc) {
+      int idx, rho;
+      if ((enc & 1) != 0) {
+        idx = enc >>> (32 - b);
+        int stored = (enc & ((1 << (binbits + 1)) - 2)) >>> 1;
+        rho = stored + (32 - 1 - b - binbits);
+      } else {
+        int t = (enc << binbits) >>> binbits;
+        idx = t >>> (32 - (binbits + b));
+        rho = Integer.numberOfLeadingZeros(enc << (binbits + b)) + 1;
+      }
+      rho &= 0xff; // uint8 register domain, as the numpy kernels store it
+      if (rho > (dense[idx] & 0xff)) dense[idx] = (byte) rho;
+    }
+
+    void promote() {
+      dense = new byte[1 << b];
+      for (int e : table) {
+        if (e != 0) decodeIntoDense(e);
+      }
+      table = null;
+      n = 0;
+    }
+
+    void addEnc(int enc) {
+      if (dense != null) {
+        decodeIntoDense(enc);
+      } else {
+        insertSparse(enc);
+        if (n > cap) promote();
+      }
+    }
+
+    void addChain(long h) {
+      if (chains == null) {
+        chains = new long[4];
+      } else if (nchain == chains.length) {
+        long[] g = new long[chains.length * 2];
+        System.arraycopy(chains, 0, g, 0, nchain);
+        chains = g;
+      }
+      chains[nchain++] = h;
+    }
+
+    @Override
+    public void writeExternal(ObjectOutput out) throws IOException {
+      out.writeByte(b);
+      out.writeByte(binbits);
+      out.writeBoolean(dense != null);
+      if (dense != null) {
+        out.write(dense);
+      } else {
+        out.writeInt(n);
+        for (int e : table) {
+          if (e != 0) out.writeInt(e);
+        }
+      }
+      out.writeInt(nchain);
+      for (int i = 0; i < nchain; i++) out.writeLong(chains[i]);
+    }
+
+    @Override
+    public void readExternal(ObjectInput in) throws IOException {
+      b = in.readByte();
+      binbits = in.readByte();
+      cap = sparseCapacity(b);
+      boolean isDense = in.readBoolean();
+      if (isDense) {
+        dense = new byte[1 << b];
+        in.readFully(dense);
+        table = null;
+        n = 0;
+      } else {
+        int count = in.readInt();
+        int size = 64;
+        while (size * 3 < (count + 1) * 4) size *= 2;
+        table = new int[size];
+        n = 0;
+        for (int i = 0; i < count; i++) insertSparse(in.readInt());
+      }
+      nchain = in.readInt();
+      if (nchain > 0) {
+        chains = new long[nchain];
+        for (int i = 0; i < nchain; i++) chains[i] = in.readLong();
+      }
+    }
+  }
+
+  @Override
+  public Buf zero() {
+    return new Buf(b, binbits);
+  }
+
+  @Override
+  public Buf reduce(Buf buf, Long value) {
+    if (value == null) return buf;
+    long h = value;
+    int pprime = 32 - 1 - binbits;
+    if ((h << pprime) == 0L) {
+      // suffix all-zero: the reference's rho rehash chain — replayed in
+      // Python at finalize (hyperloglog.c:611-620, 694-703)
+      buf.addChain(h);
+      return buf;
+    }
+    if (buf.dense != null) {
+      int idx = (int) (h >>> (64 - b));
+      int rho = Long.numberOfLeadingZeros(h << b) + 1;
+      if (rho > (buf.dense[idx] & 0xff)) buf.dense[idx] = (byte) rho;
+    } else {
+      int idxp = (int) (h >>> (64 - pprime));
+      int mask = (1 << (pprime - b)) - 1;
+      int enc;
+      if ((idxp & mask) != 0) {
+        enc = idxp << 1;
+      } else {
+        int rho = Long.numberOfLeadingZeros(h << pprime) + 1;
+        enc = (((idxp << binbits) + rho) << 1) + 1;
+      }
+      buf.addEnc(enc);
+    }
+    return buf;
+  }
+
+  @Override
+  public Buf merge(Buf a, Buf c) {
+    if (c.dense != null) {
+      if (a.dense == null) a.promote();
+      for (int i = 0; i < a.dense.length; i++) {
+        if ((c.dense[i] & 0xff) > (a.dense[i] & 0xff)) a.dense[i] = c.dense[i];
+      }
+    } else if (c.table != null) {
+      for (int e : c.table) {
+        if (e != 0) a.addEnc(e);
+      }
+    }
+    for (int i = 0; i < c.nchain; i++) a.addChain(c.chains[i]);
+    return a;
+  }
+
+  /**
+   * Intermediate blob (little-endian), finalized to canonical sketch bytes
+   * by hllspark.jvm_udaf._finalize_blob:
+   *   u8 version=1 | u8 mode (0 sparse, 1 dense) | u8 b | u8 binbits |
+   *   i32 nchain | nchain × i64 chain hashes |
+   *   sparse: i32 n | n × u32 encodings (unsorted)
+   *   dense:  2^b register bytes
+   */
+  @Override
+  public byte[] finish(Buf buf) {
+    boolean isDense = buf.dense != null;
+    int payload = isDense ? (1 << buf.b) : (4 + 4 * buf.n);
+    ByteBuffer bb = ByteBuffer.allocate(4 + 4 + 8 * buf.nchain + payload);
+    bb.order(ByteOrder.LITTLE_ENDIAN);
+    bb.put((byte) 1);
+    bb.put((byte) (isDense ? 1 : 0));
+    bb.put((byte) buf.b);
+    bb.put((byte) buf.binbits);
+    bb.putInt(buf.nchain);
+    for (int i = 0; i < buf.nchain; i++) bb.putLong(buf.chains[i]);
+    if (isDense) {
+      bb.put(buf.dense);
+    } else {
+      bb.putInt(buf.n);
+      for (int e : buf.table) {
+        if (e != 0) bb.putInt(e);
+      }
+    }
+    return bb.array();
+  }
+
+  @Override
+  public Encoder<Buf> bufferEncoder() {
+    return Encoders.javaSerialization(Buf.class);
+  }
+
+  @Override
+  public Encoder<byte[]> outputEncoder() {
+    return Encoders.BINARY();
+  }
+}
