@@ -23,6 +23,15 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def pages_small_dir():
+    """Gitignored pages fixture, generated on first use (marker-cached) so a
+    fresh checkout doesn't fail with AnalysisException on a missing path."""
+    from hllspark.pipeline.pages import ensure_small
+
+    return str(ensure_small("/root/repo"))
+
+
+@pytest.fixture(scope="session")
 def sf001_dir():
     return os.environ.get("SPARK_GRAFT_SF001", "/root/testdata/sf0.001")
 

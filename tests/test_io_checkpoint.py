@@ -106,13 +106,13 @@ def test_manifest_pins_epochs_and_rejects_input_drift(spark, pages_path, tmp_pat
         ck.run()
 
 
-def test_sketch_table_partition_pruning(spark, tmp_path):
+def test_sketch_table_partition_pruning(spark, tmp_path, pages_small_dir):
     """SketchTable (Iceberg-or-parquet shim): a filter on the partition
     column must prune partitions BEFORE the scan, and sketches must
     round-trip through the partitioned layout."""
     from hllspark.io import SketchTable, iceberg_available
 
-    pages = spark.read.parquet("/root/repo/data/pages_small")
+    pages = spark.read.parquet(pages_small_dir)
     per_lang = agg.sketch(pages, "url", by=["lang"])
     t = SketchTable(spark, str(tmp_path / "rollup"))
     assert t.format == ("iceberg" if iceberg_available(spark) else "parquet")

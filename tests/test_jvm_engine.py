@@ -27,8 +27,8 @@ def _bytes_by_key(df, by):
     }
 
 
-def test_jvm_engine_byte_parity_strings(spark):
-    pages = spark.read.parquet("/root/repo/data/pages_small")
+def test_jvm_engine_byte_parity_strings(spark, pages_small_dir):
+    pages = spark.read.parquet(pages_small_dir)
     py = _bytes_by_key(agg.sketch(pages, "url", by=["lang"], engine="python", jvm_prehash=True), ["lang"])
     jvm = _bytes_by_key(agg.sketch_jvm(pages, "url", by=["lang"]), ["lang"])
     assert py == jvm
@@ -109,11 +109,11 @@ def test_countmin_bloom_jvm_byte_parity(spark, sf01_dir):
     assert py_bf == jv_bf
 
 
-def test_distributed_assembly_byte_parity(spark, sf01_dir):
+def test_distributed_assembly_byte_parity(spark, sf01_dir, pages_small_dir):
     """sketch_jvm_distributed (unbounded key cardinality) must match the
     driver-assembled sketch_jvm byte-for-byte, including sparse keys, the
     promotion boundary, and null-only groups."""
-    pages = spark.read.parquet("/root/repo/data/pages_small")
+    pages = spark.read.parquet(pages_small_dir)
     a = _bytes_by_key(agg.sketch_jvm(pages, "url", by=["lang"]), ["lang"])
     b = _bytes_by_key(agg.sketch_jvm_distributed(pages, "url", by=["lang"]), ["lang"])
     assert a == b

@@ -1,6 +1,7 @@
 """Text-analysis and deduplication pipeline tests (documents table + spiked
 near-duplicates with known ground truth)."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -48,6 +49,59 @@ def test_lang_id_on_real_samples(spark):
     got = df.select("expected", text.lang_id(F.col("t")).alias("pred")).collect()
     acc = sum(1 for r in got if r["pred"] == r["expected"]) / len(got)
     assert acc == 1.0, [(r["expected"], r["pred"]) for r in got]
+
+
+def test_lang_id_vectorized_matches_scalar_reference():
+    """The batch-vectorized lang_id (one lexsort + searchsorted membership)
+    must reproduce the scalar trigram-Jaccard algorithm exactly, including
+    NULL/blank handling, prior ordering, dict-order tie-breaks, the
+    slice-before-lower quirk, and the 'unknown' fallback."""
+    import random
+    import string
+
+    from hllspark.pipeline.text import _PROFILES, _trigrams, lang_id
+
+    def classify(s):
+        if s is None or not s.strip():
+            return None
+        cj = sum(1 for ch in s[:200] if "一" <= ch <= "鿿")
+        hira = sum(1 for ch in s[:200] if "぀" <= ch <= "ヿ")
+        cyr = sum(1 for ch in s[:200] if "Ѐ" <= ch <= "ӿ")
+        n = min(len(s), 200)
+        if hira > 0.05 * n:
+            return "ja"
+        if cj > 0.3 * n:
+            return "zh"
+        if cyr > 0.3 * n:
+            return "ru"
+        grams = _trigrams(s[:1000])
+        best, best_score = None, -1.0
+        for lang, prof in _PROFILES.items():
+            inter = len(grams & prof)
+            if inter == 0:
+                continue
+            score = inter / len(grams | prof)
+            if score > best_score:
+                best, best_score = lang, score
+        return best or "unknown"
+
+    random.seed(3)
+    samples = [
+        None, "", "   ", "\t\n", "x", "ab",
+        "the cat sat on the mat with the dog every day",
+        "быстрая собака бежит по лесу каждый день на работу",
+        "素早い狐は毎日犬を飛び越えます",
+        "敏捷的狐狸跳过了懒惰的狗每天都这样",
+        "zzzz qqqq xxxx 12345 @@@@",
+        "İstanbul İİİİ " * 50,  # lower() changes the length → slice-before-lower matters
+        "mixed 敏捷的棕色 text with some 中文 chars",
+    ]
+    alphabet = string.ascii_lowercase + " áéíóúüßабв一二"
+    samples += ["".join(random.choices(alphabet, k=random.randint(1, 300))) for _ in range(150)]
+    ser = pd.Series(samples, dtype=object)
+    got = lang_id.func(ser)
+    want = [classify(s) for s in samples]
+    assert list(got) == want
 
 
 def test_exact_fingerprint_normalization(spark):
@@ -213,14 +267,14 @@ def test_fingerprint_documents_matches_scalar(spark):
         assert got[i] == expected, (i, t[:30])
 
 
-def test_extract_text_byte_identical(spark):
+def test_extract_text_byte_identical(spark, pages_small_dir):
     """input_hint invariant: extract_text(html) == text byte-for-byte on
     every row of the Common-Crawl-style fixture."""
     from pyspark.sql import functions as F
 
     from hllspark.pipeline.text import extract_text
 
-    pages = spark.read.parquet("/root/repo/data/pages_small")
+    pages = spark.read.parquet(pages_small_dir)
     n = pages.count()
     match = pages.select(
         F.sum((extract_text("html") == F.col("text")).cast("long")).alias("m")

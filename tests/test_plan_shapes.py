@@ -15,9 +15,9 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_scan_prunes_to_value_column(spark):
+def test_scan_prunes_to_value_column(spark, pages_small_dir):
     """The register reduction over (url) must read ONLY url from parquet."""
-    pages = spark.read.parquet("/root/repo/data/pages_small")
+    pages = spark.read.parquet(pages_small_dir)
     _, regs = agg._hll_kernel_frames(pages, "url", [], 14, 6)
     plan = _plan(regs)
     assert "ReadSchema: struct<url:string>" in plan, plan
@@ -25,17 +25,17 @@ def test_scan_prunes_to_value_column(spark):
     assert "html" not in plan and "text" not in plan
 
 
-def test_filter_pushed_to_parquet(spark):
-    pages = spark.read.parquet("/root/repo/data/pages_small")
+def test_filter_pushed_to_parquet(spark, pages_small_dir):
+    pages = spark.read.parquet(pages_small_dir)
     _, regs = agg._hll_kernel_frames(pages.filter(F.col("lang") == "en"), "url", [], 14, 6)
     plan = _plan(regs)
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
 
 
-def test_partial_aggregation_before_shuffle(spark):
+def test_partial_aggregation_before_shuffle(spark, pages_small_dir):
     """groupBy(key, idx).agg(max(rho)) must partial-aggregate map-side: at
     most P × 2^b rows cross the exchange, never the raw rows."""
-    pages = spark.read.parquet("/root/repo/data/pages_small")
+    pages = spark.read.parquet(pages_small_dir)
     _, regs = agg._hll_kernel_frames(pages, "url", ["lang"], 14, 6)
     plan = _plan(regs)
     exch = plan.index("Exchange hashpartitioning")
@@ -46,14 +46,14 @@ def test_partial_aggregation_before_shuffle(spark):
     assert "HashAggregate" in below
 
 
-def test_whole_stage_codegen_on_hot_path(spark):
+def test_whole_stage_codegen_on_hot_path(spark, pages_small_dir):
     """The kernel columns (hash, clz cascade, encode) and the register
     reduction must run inside WholeStageCodegen spans — no interpreted
     projections on the per-row path."""
     import contextlib
     import io
 
-    pages = spark.read.parquet("/root/repo/data/pages_small")
+    pages = spark.read.parquet(pages_small_dir)
     _, regs = agg._hll_kernel_frames(pages, "url", [], 14, 6)
     regs.collect()  # under AQE, codegen subtrees exist only in the final plan
     buf = io.StringIO()
@@ -67,12 +67,12 @@ def test_whole_stage_codegen_on_hot_path(spark):
     assert "*(1) Project" in cg
 
 
-def test_minhash_jvm_single_aggregate(spark):
+def test_minhash_jvm_single_aggregate(spark, pages_small_dir):
     """minhash_jvm's k mins must be ONE hash aggregate (one shuffle), not k
     of them."""
     from hllspark.sketches.jvm import minhash_jvm
 
-    pages = spark.read.parquet("/root/repo/data/pages_small")
+    pages = spark.read.parquet(pages_small_dir)
     out = minhash_jvm(pages, "url", by=["lang"], k=32)
     plan = _plan(out)
     assert plan.count("Exchange hashpartitioning") <= 2, plan  # agg + (maybe) pandas grouping
