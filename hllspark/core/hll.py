@@ -63,6 +63,12 @@ HASH_MURMUR = 0  # MurmurHash64A seed 0xadc83b19 (reference-parity)
 HASH_XXHASH_SPARK = 1  # Spark JVM xxhash64(seed=42) pre-hashing (scale path)
 _HASH_KIND_SHIFT = 1
 _HASH_KIND_MASK = 0b110
+# Forward-compat contract for v2 blobs: new payload ENCODINGS are introduced
+# as new flag bits (like _FLAG_DEFLATE was, late in round 2) without a
+# version bump — but a decoder must REJECT unknown bits loudly instead of
+# misparsing the payload (a raw frombuffer size error explains nothing).
+# Changes to the header layout or hashing DOMAIN still bump STRUCT_VERSION.
+_KNOWN_FLAGS = _FLAG_DENSE | _FLAG_PACKED | _FLAG_VARINT | _FLAG_DEFLATE | _HASH_KIND_MASK
 
 
 def params_from_error(error: float = DEFAULT_ERROR, ndistinct: float = DEFAULT_NDISTINCT) -> tuple[int, int]:
@@ -559,6 +565,11 @@ class HLL:
         version, b, binbits, flags, idx = _HEADER.unpack_from(data, 0)
         if version > STRUCT_VERSION:
             raise ValueError(f"unsupported sketch version {version}")
+        if flags & ~_KNOWN_FLAGS:
+            raise ValueError(
+                f"sketch flags 0x{flags:02x} carry payload-encoding bits unknown "
+                f"to this decoder (v{version}): produced by a newer hllspark"
+            )
         # versions 1/2 share this layout; older versions would be upgraded here
         # (mirrors hyperloglog_update / upgrade.c:24-60)
         payload = data[_HEADER.size :]

@@ -244,7 +244,12 @@ def verified_pairs(
     """MinHash-LSH near-duplicate pairs with estimated Jaccard ≥ threshold.
 
     Returns DataFrame[a, b, est_jaccard].  Verification = fraction of equal
-    signature slots, computed JVM-side with zip_with."""
+    signature slots, computed JVM-side with zip_with.
+
+    NOTE: calling this EXECUTES the signature job eagerly
+    (localCheckpoint(eager=True) below) even before the returned DataFrame's
+    first action — the signatures feed three subtrees of the final plan, so
+    deferring materialization would re-run the text scan three times."""
     # docs shorter than one shingle have no signature content — an all-empty
     # pair would otherwise report J=1.0 (e.g. NULL text vs empty string)
     df = df.filter(F.length(F.coalesce(F.col(text_col), F.lit(""))) >= ngram)
@@ -273,7 +278,11 @@ def dedup_near(
 ) -> DataFrame:
     """Remove near-duplicates: connected components over verified pairs via
     iterative min-label propagation (each round one join; converges in
-    O(log component-diameter) rounds), keep the component's min id."""
+    O(log component-diameter) rounds), keep the component's min id.
+
+    NOTE: eager — the candidate/verify/propagation pipeline runs AT CALL
+    TIME (per-round localCheckpoint bounds the iterative lineage); only the
+    final anti-join against ``df`` stays lazy in the returned DataFrame."""
     pairs = verified_pairs(df, id_col, text_col, threshold=threshold, **kw).select("a", "b")
     # label[x] = min id reachable; init label = min(neighbor ids, self).
     # Symmetrize via explode (each pair read ONCE — a self-union would run
@@ -309,9 +318,14 @@ def dedup_near(
             .select("a", F.least("lbl", F.coalesce("nl", "lbl")).alias("lbl"))
             .localCheckpoint()  # eager: also materializes for the convergence check
         )
-        changed = new_labels.alias("n").join(labels.alias("o"), "a").filter(F.col("n.lbl") != F.col("o.lbl")).count()
+        # existence check, not count(): isEmpty() short-circuits at the first
+        # changed label (take(1) over the two materialized label tables)
+        # instead of materializing the full changed-set size every round
+        converged = (
+            new_labels.alias("n").join(labels.alias("o"), "a").filter(F.col("n.lbl") != F.col("o.lbl")).isEmpty()
+        )
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     drop = labels.filter(F.col("a") != F.col("lbl")).select(F.col("a").alias(id_col))
     return df.join(drop, id_col, "left_anti")

@@ -213,34 +213,89 @@ def _trigrams(s: str) -> set:
 _PROFILES = {lang: _trigrams(seed) for lang, seed in _LANG_SEEDS.items()}
 
 
+def _gram_key(cp0: np.ndarray, cp1: np.ndarray, cp2: np.ndarray) -> np.ndarray:
+    """Pack a trigram of codepoints (< 2^21 each) into one uint64 key."""
+    return cp0.astype(np.uint64) | (cp1.astype(np.uint64) << np.uint64(21)) | (cp2.astype(np.uint64) << np.uint64(42))
+
+
+def _profile_keys(prof: set) -> np.ndarray:
+    cps = np.array([[ord(t[0]), ord(t[1]), ord(t[2])] for t in sorted(prof)], dtype=np.uint64)
+    return np.sort(_gram_key(cps[:, 0], cps[:, 1], cps[:, 2]))
+
+
+_PROFILE_KEYS = {lang: _profile_keys(prof) for lang, prof in _PROFILES.items()}
+
+
+def _codepoints(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """One flat uint32 codepoint array for a list of strings + doc ids per
+    position (utf-32 gives fixed-width codepoints, so slicing/classifying is
+    pure numpy from here on)."""
+    joined = "".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    doc = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    return cp, doc
+
+
 @pandas_udf(StringType())
 def lang_id(text: pd.Series) -> pd.Series:
     """Heuristic language ID: Jaccard of char trigrams vs per-language seed
-    profiles (+ a Unicode-block prior for CJK/Cyrillic)."""
+    profiles (+ a Unicode-block prior for CJK/Cyrillic).
 
-    def classify(s):
-        if s is None or not s.strip():
-            return None
-        # unicode-block prior
-        cj = sum(1 for ch in s[:200] if "一" <= ch <= "鿿")
-        hira = sum(1 for ch in s[:200] if "぀" <= ch <= "ヿ")
-        cyr = sum(1 for ch in s[:200] if "Ѐ" <= ch <= "ӿ")
-        n = min(len(s), 200)
-        if hira > 0.05 * n:
-            return "ja"
-        if cj > 0.3 * n:
-            return "zh"
-        if cyr > 0.3 * n:
-            return "ru"
-        grams = _trigrams(s[:1000])
-        best, best_score = None, -1.0
-        for lang, prof in _PROFILES.items():
-            inter = len(grams & prof)
-            if inter == 0:
-                continue
-            score = inter / len(grams | prof)
-            if score > best_score:
-                best, best_score = lang, score
-        return best or "unknown"
+    Batch-vectorized (round-2 verdict: the old per-row Python ``classify``
+    was the one row-at-a-time loop on a hot-ish path): all trigram keys of
+    the batch go through ONE lexsort for per-doc dedup, then 7 searchsorted
+    membership passes + bincounts — the winnowing-fingerprint shape.  Output
+    is identical to the scalar reference implementation (tested)."""
+    n_docs = len(text)
+    out = np.full(n_docs, None, dtype=object)
+    if n_docs == 0:
+        return pd.Series(out)
+    isnull = text.isna() | text.str.strip().eq("")
+    live = np.nonzero(~isnull.to_numpy())[0]
+    if len(live) == 0:
+        return pd.Series(out)
+    raw = text.iloc[live]
 
-    return text.map(classify)
+    # --- unicode-block prior over the first 200 raw chars ------------------
+    head_txt = raw.str.slice(0, 200).tolist()
+    cp, doc = _codepoints(head_txt)
+    nhead = np.fromiter((len(t) for t in head_txt), dtype=np.int64, count=len(head_txt))
+    cj = np.bincount(doc[(cp >= 0x4E00) & (cp <= 0x9FFF)], minlength=len(live))
+    hira = np.bincount(doc[(cp >= 0x3040) & (cp <= 0x30FF)], minlength=len(live))
+    cyr = np.bincount(doc[(cp >= 0x0400) & (cp <= 0x04FF)], minlength=len(live))
+    prior = np.select(
+        [hira > 0.05 * nhead, cj > 0.3 * nhead, cyr > 0.3 * nhead], ["ja", "zh", "ru"], default=""
+    )
+
+    # --- trigram Jaccard for the rest (slice raw → lower, as _trigrams) ----
+    padded = ("  " + raw.str.slice(0, 1000).str.lower() + "  ").tolist()
+    cp, doc = _codepoints(padded)
+    # windows fully inside one doc (every padded doc has ≥ 4 chars)
+    valid = doc[:-2] == doc[2:]
+    keys = _gram_key(cp[:-2], cp[1:-1], cp[2:])[valid]
+    kdoc = doc[:-2][valid]
+    order = np.lexsort((keys, kdoc))
+    keys, kdoc = keys[order], kdoc[order]
+    first = np.ones(len(keys), dtype=bool)
+    first[1:] = (keys[1:] != keys[:-1]) | (kdoc[1:] != kdoc[:-1])
+    ukeys, udoc = keys[first], kdoc[first]
+    n_grams = np.bincount(udoc, minlength=len(live)).astype(np.float64)
+
+    langs = list(_PROFILE_KEYS)
+    scores = np.full((len(langs), len(live)), -np.inf)
+    for li, lang in enumerate(langs):
+        prof = _PROFILE_KEYS[lang]
+        pos = np.searchsorted(prof, ukeys)
+        member = (pos < len(prof)) & (prof[np.minimum(pos, len(prof) - 1)] == ukeys)
+        inter = np.bincount(udoc[member], minlength=len(live)).astype(np.float64)
+        union = n_grams + len(prof) - inter
+        hit = inter > 0
+        scores[li, hit] = inter[hit] / union[hit]
+    any_hit = np.isfinite(scores).any(axis=0)
+    # argmax returns the FIRST max → same tie-break as the dict-order scan
+    best = np.argmax(scores, axis=0)
+    tri = np.where(any_hit, np.array(langs, dtype=object)[best], "unknown")
+
+    out[live] = np.where(prior != "", prior, tri)
+    return pd.Series(out)
