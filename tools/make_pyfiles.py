@@ -1,6 +1,11 @@
 """Build dist/hllspark.zip for `spark-submit --py-files` deployment.
 
 Usage: python tools/make_pyfiles.py [out.zip]
+
+The optional JVM aggregate-buffer engine (engine="jvm_udaf") ships as a
+SEPARATE artifact: add `--jars dist/hllspark-udaf.jar` (built by
+tools/build_jar.py) next to --py-files.  Without the jar every API still
+works — engine="auto" falls back to the groupBy-JVM engine.
 """
 
 import sys
