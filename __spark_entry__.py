@@ -610,6 +610,65 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_distinct_custkey_jvm_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine="jvm_udaf" FORCED: the aggregate-buffer engine (typed JVM
+    Aggregator → TypedImperativeAggregate, jvm/src) end-to-end, global and
+    grouped results in one frame.  Falls back to the groupBy-JVM engine
+    where the jar can't load — estimates are identical either way
+    (byte-identical sketches, tests/test_jvm_udaf.py)."""
+    from hllspark import agg
+
+    o = _read(spark, sf_dir, "orders")
+    engine = "jvm_udaf" if agg._udaf_available(spark) else "jvm"
+    est = agg.distinct(o, "o_custkey", by=["o_orderpriority"], engine=engine)
+    exact = o.groupBy("o_orderpriority").agg(F.countDistinct("o_custkey").alias("exact_cnt"))
+    return _bound_check(est, exact, ["o_orderpriority"])
+
+
+def q_exhaustive_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oversized-LSH-bucket enumeration modes on a synthetic 1000-member
+    bucket at max_bucket=100 (deterministic: sub-bucketing is
+    pmod(xxhash64(id), 10)): exhaustive mode must produce the complete
+    C(1000,2) = 499500 pair set; connected mode the salt-split subset
+    (within-sub-bucket pairs + 9 chain edges = 49831); a 10k pair budget
+    forces the exhaustive call back to the connected path."""
+    from hllspark.pipeline import dedup
+
+    bucket = spark.range(1000).agg(F.collect_list("id").alias("ids")).select(
+        F.lit(0).alias("band"), F.lit(0).cast("long").alias("bh"), "ids"
+    )
+    args = (bucket, ["band", "bh"])
+    n_ex = dedup._split_oversized(*args, max_bucket=100, mode="exhaustive").count()
+    n_conn = dedup._split_oversized(*args, max_bucket=100, mode="connected").count()
+    n_fb = dedup._split_oversized(
+        *args, max_bucket=100, mode="exhaustive", exhaustive_budget=10_000
+    ).count()
+    return spark.createDataFrame(
+        [(n_ex, n_conn, n_fb)], "n_exhaustive long, n_connected long, n_budget_fallback long"
+    )
+
+
+def q_hll_info_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-arg hyperloglog_info(): library defaults dump
+    (hyperloglog_counter.c:994-1001)."""
+    from hllspark.functions import hll_info_defaults
+
+    d = hll_info_defaults()
+    return spark.createDataFrame(
+        [
+            (
+                int(d["struct_version"]),
+                float(d["default_error_rate"]),
+                float(d["default_ndistinct"]),
+                int(d["default_index_bits"]),
+                int(d["default_binbits"]),
+            )
+        ],
+        "struct_version int, default_error_rate double, default_ndistinct double, "
+        "default_index_bits int, default_binbits int",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: grouped approximate distinct on sf0.001 lineitem."""
     return q_distinct_custkey_by_priority(spark, "/root/testdata/sf0.001")
@@ -647,6 +706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_sizes": q_compression_sizes,
         "null_group_semantics": q_null_group_semantics,
         "multimodal_image_features": q_multimodal_image_features,
+        "distinct_custkey_jvm_udaf": q_distinct_custkey_jvm_udaf,
+        "exhaustive_bucket_pairs": q_exhaustive_bucket_pairs,
+        "hll_info_defaults": q_hll_info_defaults,
     }
 
 
@@ -801,5 +863,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(50 AS BIGINT) AS n_images, CAST(1600 AS BIGINT) AS width_sum, "
             "CAST(1200 AS BIGINT) AS height_sum, CAST(6400281252 AS BIGINT) AS mean_micro_sum, "
             "CAST(3695961838 AS BIGINT) AS std_micro_sum, CAST(38400 AS BIGINT) AS hist_total"
+        ),
+        # same exact counts as distinct_custkey_by_priority — the forced
+        # jvm_udaf engine must agree with every other engine
+        "distinct_custkey_jvm_udaf": (
+            "SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_cnt, "
+            "TRUE AS within_bound FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # closed-form C(1000,2) for the complete set; the connected literal
+        # 49831 is deterministic in pmod(xxhash64(id), 10) sub-bucketing
+        # (frozen like the 24/20 near-dup literals — changes only if the
+        # salt-split hash or max_bucket changes)
+        "exhaustive_bucket_pairs": (
+            "SELECT CAST(499500 AS BIGINT) AS n_exhaustive, "
+            "CAST(49831 AS BIGINT) AS n_connected, CAST(49831 AS BIGINT) AS n_budget_fallback"
+        ),
+        # hyperloglog_counter.c:994-1001 defaults (STRUCT_VERSION here is the
+        # library's own v2 — sparse group-varint + hash-kind flags)
+        "hll_info_defaults": (
+            "SELECT CAST(2 AS INTEGER) AS struct_version, CAST(0.008125 AS DOUBLE) AS default_error_rate, "
+            "CAST(9223372036854775808.0 AS DOUBLE) AS default_ndistinct, CAST(14 AS INTEGER) AS default_index_bits, "
+            "CAST(6 AS INTEGER) AS default_binbits"
         ),
     }

@@ -76,3 +76,25 @@ def test_minhash_jvm_single_aggregate(spark, pages_small_dir):
     out = minhash_jvm(pages, "url", by=["lang"], k=32)
     plan = _plan(out)
     assert plan.count("Exchange hashpartitioning") <= 2, plan  # agg + (maybe) pandas grouping
+
+
+def test_udaf_engine_plan_shape(spark, pages_small_dir):
+    """engine=jvm_udaf must plan as ObjectHashAggregate (the
+    TypedImperativeAggregate home) with a map-side partial before the
+    exchange, one buffer row per (partition, key) crossing it, and the scan
+    pruned to the value column — never the raw rows through the shuffle."""
+    ju = pytest.importorskip("hllspark.jvm_udaf")
+    if not ju.available(spark):
+        pytest.skip("udaf jar not loadable")
+    pages = spark.read.parquet(pages_small_dir)
+    out = ju.sketch_jvm_udaf(pages, "url", ["lang"])
+    plan = _plan(out)
+    assert "ObjectHashAggregate" in plan, plan
+    assert (
+        "ReadSchema: struct<url:string,lang:string>" in plan
+        or "ReadSchema: struct<lang:string,url:string>" in plan
+    ), plan
+    assert "html" not in plan and "warc_ts" not in plan
+    exch = plan.index("Exchange hashpartitioning")
+    assert "ObjectHashAggregate" in plan[exch:], plan  # partial below the exchange
+    assert "hllregisteraggregator" in plan.lower() or "HllRegisterAggregator".lower() in plan.lower(), plan
