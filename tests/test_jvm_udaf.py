@@ -125,3 +125,18 @@ def test_udaf_merges_with_other_engine_sketches(udaf_spark):
         bytes(ju.sketch_jvm_udaf(udaf_spark.range(0, 5000).select(F.col("id").alias("v")), "v").first()["sketch"])
     )
     assert merged.estimate() == direct.estimate()
+
+
+def test_udaf_high_cardinality_grouping_sort_fallback(udaf_spark):
+    """16k group keys blow past ObjectHashAggregate's default 128-key
+    in-memory threshold, forcing the sort-based fallback — buffers must
+    still be exact (byte parity with the distributed groupBy engine).
+    Sessions doing high-cardinality grouped sketches should raise
+    spark.sql.objectHashAggregate.sortBased.fallbackThreshold (bench.py
+    does); this test runs at the DEFAULT to pin fallback correctness."""
+    df = udaf_spark.range(200_000).select(
+        (F.col("id") % 16384).alias("g"), (F.col("id") % 4099).alias("v")
+    )
+    u = _by_key(ju.sketch_jvm_udaf(df, "v", ["g"]), ["g"])
+    d = _by_key(agg.sketch_jvm_distributed(df, "v", ["g"]), ["g"])
+    assert len(u) == 16384 and u == d
