@@ -372,6 +372,10 @@ def main():
         "N→4N *executor* criterion models multi-node scaling where each node "
         "contributes its own memory bus, which a single VM cannot emulate.",
         "",
+        "Executor-count scaling (N vs 4N real executor JVMs via local-cluster mode, "
+        "the north_rule's literal shape): see BENCH/CLUSTER.md "
+        "(tools/bench_cluster.py).",
+        "",
         "Per-query wall seconds at full parallelism:",
         "",
     ]
