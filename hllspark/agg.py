@@ -520,8 +520,14 @@ def distinct(
     jvm_prehash="auto",
     driver_merge: bool | str = "auto",
     engine: str = "auto",
+    error_rate: float | None = None,
+    ndistinct: float | None = None,
 ) -> DataFrame:
     """hyperloglog_distinct: sketch then estimate → DataFrame[by..., est].
+
+    Precision via b/binbits or the reference's
+    ``hyperloglog_distinct(col[, error_rate[, ndistinct]])`` derivation
+    (postgres.sql:219-245) — same resolution as ``sketch``.
 
     ``driver_merge``: finalize small partial sets on the driver (coordinator
     finalfunc role) instead of an extra Spark stage.  "auto" enables it for
@@ -534,7 +540,7 @@ def distinct(
     """
     from .functions import resolve_params
 
-    b, binbits = resolve_params(b, binbits)
+    b, binbits = resolve_params(b, binbits, error_rate, ndistinct)
     by = list(by or [])
     spark = df.sparkSession
     if engine == "auto":

@@ -23,6 +23,12 @@ best-effort runtime ``ADD JAR`` + shared-classloader reflection fallback.
 When neither works callers fall back to ``agg.sketch_jvm_distributed``.
 On a real cluster ship the jar with ``spark.jars`` exactly like the
 --py-files zip (tools/make_pyfiles.py docs).
+
+Tuning: ObjectHashAggregate falls back to sort-based aggregation past
+``spark.sql.objectHashAggregate.sortBased.fallbackThreshold`` in-memory
+keys (default 128 — far too low for high-cardinality grouped sketches;
+results stay exact either way, tests/test_jvm_udaf.py pins it).  Sessions
+doing per-domain/per-user grouping should raise it (bench.py uses 65536).
 """
 
 from __future__ import annotations

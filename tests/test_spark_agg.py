@@ -136,3 +136,20 @@ def test_hll_info_defaults_noargs():
     # params_from_error quirk picks the smallest b whose bound is within
     # tolerance, not strictly below (hyperloglog.c hll_create)
     assert abs(d["error_bound"] - d["default_error_rate"]) / d["default_error_rate"] < 0.08
+
+
+def test_distinct_error_rate_form(spark, sf001_dir):
+    """hyperloglog_distinct(col, error_rate[, ndistinct]) parameterization on
+    the distinct() surface (postgres.sql:219-245): a coarser error rate uses
+    fewer registers but stays within ITS OWN published bound."""
+    import math
+
+    from hllspark import agg
+
+    li = spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
+    exact = li.select("l_orderkey").distinct().count()
+    est_default = agg.distinct(li, "l_orderkey").first()["est"]
+    est_coarse = agg.distinct(li, "l_orderkey", error_rate=0.05, ndistinct=2**20).first()["est"]
+    assert abs(est_default - exact) / exact < 3 * 1.04 / math.sqrt(2**14)
+    assert abs(est_coarse - exact) / exact < 3 * 0.05
+    assert est_default != est_coarse  # genuinely different precision
