@@ -73,16 +73,30 @@ def _col_seq(spark: SparkSession, cols):
     return _to_seq(spark.sparkContext, cols, _to_java_column)
 
 
-def _new_aggregator(spark: SparkSession, b: int, binbits: int):
-    """Instantiate the JVM aggregator, trying (1) the py4j view (class on
-    the driver classpath via spark.jars), then (2) ADD JAR + the session's
-    shared jar classloader via reflection."""
+# app-key → ("direct", None) | ("ctor", java Constructor) | ("none", None).
+# Keyed per Spark application (applicationId + startTime — NOT id(session),
+# whose address a stopped session's successor can reuse, which would poison
+# the cache and crash an auto-routed query instead of falling back).
+# Caching the RESOLVED path matters: without it, every query in an
+# ADD-JAR-fallback session re-pays the failed py4j probe + a jar mtime scan
+# + the reflection lookup.
+_SESSION_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def _app_key(spark: SparkSession) -> str:
+    sc = spark.sparkContext
+    return f"{sc.applicationId}:{sc.startTime}"
+
+
+def _resolve(spark: SparkSession) -> tuple[str, object]:
+    """Find a working way to instantiate the aggregator: (1) the py4j view
+    (class on the driver classpath via spark.jars), then (2) ADD JAR + the
+    session's shared jar classloader via reflection."""
     jvm = spark._jvm
     try:
-        agg = jvm.hllsparkjvm.HllRegisterAggregator(b, binbits)
-        # py4j resolves unknown classes to a package stub; poke a method
-        agg.toString()
-        return agg
+        probe = jvm.hllsparkjvm.HllRegisterAggregator(14, 6)
+        probe.toString()  # py4j resolves unknown classes to a package stub
+        return ("direct", None)
     except Exception:
         pass
     try:
@@ -91,37 +105,58 @@ def _new_aggregator(spark: SparkSession, b: int, binbits: int):
         loader = spark._jsparkSession.sharedState().jarClassLoader()
         cls = loader.loadClass(_AGG_CLASS)
         ctor = cls.getConstructors()[0]
-        gateway = spark.sparkContext._gateway
-        args = gateway.new_array(jvm.java.lang.Object, 2)
-        args[0] = b
-        args[1] = binbits
-        return ctor.newInstance(args)
+        # smoke the ctor once so a broken path is never cached as working
+        args = spark.sparkContext._gateway.new_array(jvm.java.lang.Object, 2)
+        args[0], args[1] = 14, 6
+        ctor.newInstance(args)
+        return ("ctor", ctor)
     except Exception:
-        return None
+        return ("none", None)
 
 
-_SESSION_CACHE: dict[str, bool] = {}
+def _new_aggregator(spark: SparkSession, b: int, binbits: int):
+    key = _app_key(spark)
+    if key not in _SESSION_CACHE:
+        _SESSION_CACHE[key] = _resolve(spark)
+    mode, ctor = _SESSION_CACHE[key]
+    if mode == "direct":
+        return spark._jvm.hllsparkjvm.HllRegisterAggregator(b, binbits)
+    if mode == "ctor":
+        args = spark.sparkContext._gateway.new_array(spark._jvm.java.lang.Object, 2)
+        args[0], args[1] = b, binbits
+        return ctor.newInstance(args)
+    return None
 
 
 def available(spark: SparkSession) -> bool:
-    """Can this session run the JVM aggregate engine?  Cached per Spark
-    application (applicationId + startTime — NOT id(session), whose address
-    a stopped session's successor can reuse, which would poison the cache
-    and crash an auto-routed query instead of falling back)."""
-    sc = spark.sparkContext
-    key = f"{sc.applicationId}:{sc.startTime}"
+    """Can this session run the JVM aggregate engine?  Cached per app."""
+    key = _app_key(spark)
     if key not in _SESSION_CACHE:
-        _SESSION_CACHE[key] = _new_aggregator(spark, 14, 6) is not None
-    return _SESSION_CACHE[key]
+        _SESSION_CACHE[key] = _resolve(spark)
+    return _SESSION_CACHE[key][0] != "none"
 
 
 def configure_builder(builder, extra_jars: Sequence[str] = ()):
     """Add the UDAF jar to a SparkSession.Builder (call before getOrCreate).
 
     The clean path: spark.jars puts the class on both the driver's py4j
-    classloader and the executor classpath (in any deploy mode)."""
-    jars = [jar_path(), *extra_jars]
-    return builder.config("spark.jars", ",".join(jars))
+    classloader and the executor classpath (in any deploy mode).  APPENDS to
+    any spark.jars the builder already carries (e.g. Iceberg runtime jars)
+    instead of replacing them."""
+    existing = []
+    try:
+        opts = getattr(builder, "_options", {})
+        prior = opts.get("spark.jars")
+        if prior:
+            existing = [j for j in str(prior).split(",") if j]
+    except Exception:
+        pass
+    jars = existing + [jar_path(), *extra_jars]
+    # de-dup, order-preserving
+    seen: dict[str, None] = {}
+    for j in jars:
+        seen.setdefault(j, None)
+    return builder.config("spark.jars", ",".join(seen))
 
 
 def hll_udaf_column(spark: SparkSession, hash_col: Column, b: int, binbits: int) -> Column:
@@ -131,7 +166,8 @@ def hll_udaf_column(spark: SparkSession, hash_col: Column, b: int, binbits: int)
     if jagg is None:
         raise RuntimeError(
             "hllspark-udaf.jar not loadable in this session; create the session "
-            "with hllspark.jvm_udaf.configure_builder or use engine='jvm_distributed'"
+            "with hllspark.jvm_udaf.configure_builder or use engine='jvm' "
+            "(the no-jar groupBy engine; byte-identical sketches)"
         )
     jvm = spark._jvm
     judf = jvm.org.apache.spark.sql.functions.udaf(jagg, jvm.org.apache.spark.sql.Encoders.LONG())

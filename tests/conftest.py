@@ -25,10 +25,15 @@ def spark():
 @pytest.fixture(scope="session")
 def pages_small_dir():
     """Gitignored pages fixture, generated on first use (marker-cached) so a
-    fresh checkout doesn't fail with AnalysisException on a missing path."""
+    fresh checkout doesn't fail with AnalysisException on a missing path.
+    Rooted at THIS checkout (not a hardcoded /root/repo) so worktrees and
+    relocated clones generate their own fixture."""
+    from pathlib import Path
+
     from hllspark.pipeline.pages import ensure_small
 
-    return str(ensure_small("/root/repo"))
+    repo_root = os.environ.get("SPARK_GRAFT_REPO_ROOT", str(Path(__file__).resolve().parents[1]))
+    return str(ensure_small(repo_root))
 
 
 @pytest.fixture(scope="session")

@@ -65,6 +65,10 @@ spark.stop()
 
 
 @pytest.mark.skipif(shutil.which("spark-submit") is None, reason="spark-submit not on PATH")
+@pytest.mark.skipif(
+    shutil.which("javac") is None and not (ROOT / "dist" / "hllspark-udaf.jar").exists(),
+    reason="no JDK and no prebuilt udaf jar",
+)
 def test_spark_submit_with_udaf_jar(tmp_path):
     """--py-files zip + --jars udaf jar from OUTSIDE the repo tree: the
     engine=jvm_udaf class must resolve through the driver classpath (the

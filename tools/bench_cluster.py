@@ -7,8 +7,11 @@ through the block manager — scaling the EXECUTOR COUNT at fixed per-executor
 resources (the north_rule's "N and 4N executors" criterion, as close as a
 single box can get):
 
-    lo:  local-cluster[2, 4, 4096]   (2 executors × 4 cores)
-    hi:  local-cluster[8, 4, 4096]   (8 executors × 4 cores)
+    lo:  local-cluster[2, 2, 3072]   (2 executors × 2 cores)
+    hi:  local-cluster[8, 2, 3072]   (8 executors × 2 cores)
+
+(2 cores per executor, not 4: see the LO/HI comment below — 8 four-core
+JVMs oversubscribe this 32-core host and collapse the measurement.)
 
 Same input (data/pages_scale), warmup + interleaved best-of-2 per size, the
 bare-scan floor measured alongside, results appended to BENCH/CLUSTER.md.
