@@ -73,11 +73,11 @@ def _col_seq(spark: SparkSession, cols):
     return _to_seq(spark.sparkContext, cols, _to_java_column)
 
 
-# app-key → ("direct", None) | ("ctor", java Constructor) | ("none", None).
-# Keyed per Spark application (applicationId + startTime — NOT id(session),
-# whose address a stopped session's successor can reuse, which would poison
-# the cache and crash an auto-routed query instead of falling back).
-# Caching the RESOLVED path matters: without it, every query in an
+# app-key → ("direct", None) | ("loader", shared jar classloader) | ("none",
+# None).  Keyed per Spark application (applicationId + startTime — NOT
+# id(session), whose address a stopped session's successor can reuse, which
+# would poison the cache and crash an auto-routed query instead of falling
+# back).  Caching the RESOLVED path matters: without it, every query in an
 # ADD-JAR-fallback session re-pays the failed py4j probe + a jar mtime scan
 # + the reflection lookup.
 _SESSION_CACHE: dict[str, tuple[str, object]] = {}
@@ -89,9 +89,9 @@ def _app_key(spark: SparkSession) -> str:
 
 
 def _resolve(spark: SparkSession) -> tuple[str, object]:
-    """Find a working way to instantiate the aggregator: (1) the py4j view
-    (class on the driver classpath via spark.jars), then (2) ADD JAR + the
-    session's shared jar classloader via reflection."""
+    """Find a working way to instantiate the jar's aggregators: (1) the py4j
+    view (classes on the driver classpath via spark.jars), then (2) ADD JAR
+    + the session's shared jar classloader via reflection."""
     jvm = spark._jvm
     try:
         probe = jvm.hllsparkjvm.HllRegisterAggregator(14, 6)
@@ -103,29 +103,41 @@ def _resolve(spark: SparkSession) -> tuple[str, object]:
         path = jar_path()
         spark.sql(f"ADD JAR '{path}'")
         loader = spark._jsparkSession.sharedState().jarClassLoader()
-        cls = loader.loadClass(_AGG_CLASS)
-        ctor = cls.getConstructors()[0]
-        # smoke the ctor once so a broken path is never cached as working
-        args = spark.sparkContext._gateway.new_array(jvm.java.lang.Object, 2)
-        args[0], args[1] = 14, 6
-        ctor.newInstance(args)
-        return ("ctor", ctor)
+        # smoke one full instantiation so a broken path is never cached
+        _reflect_new(spark, loader, _AGG_CLASS, [14, 6])
+        return ("loader", loader)
     except Exception:
         return ("none", None)
 
 
-def _new_aggregator(spark: SparkSession, b: int, binbits: int):
+def _reflect_new(spark: SparkSession, loader, cls_name: str, args: list):
+    cls = loader.loadClass(cls_name)
+    ctor = cls.getConstructors()[0]  # each aggregator class has exactly one
+    jargs = spark.sparkContext._gateway.new_array(spark._jvm.java.lang.Object, len(args))
+    for i, a in enumerate(args):
+        jargs[i] = a
+    return ctor.newInstance(jargs)
+
+
+def _new_jvm_obj(spark: SparkSession, cls_name: str, args: list):
+    """Instantiate any class from the udaf jar via the cached working path
+    (None when the jar isn't loadable in this session)."""
     key = _app_key(spark)
     if key not in _SESSION_CACHE:
         _SESSION_CACHE[key] = _resolve(spark)
-    mode, ctor = _SESSION_CACHE[key]
+    mode, loader = _SESSION_CACHE[key]
     if mode == "direct":
-        return spark._jvm.hllsparkjvm.HllRegisterAggregator(b, binbits)
-    if mode == "ctor":
-        args = spark.sparkContext._gateway.new_array(spark._jvm.java.lang.Object, 2)
-        args[0], args[1] = b, binbits
-        return ctor.newInstance(args)
+        cls = spark._jvm
+        for part in cls_name.split("."):
+            cls = getattr(cls, part)
+        return cls(*args)
+    if mode == "loader":
+        return _reflect_new(spark, loader, cls_name, args)
     return None
+
+
+def _new_aggregator(spark: SparkSession, b: int, binbits: int):
+    return _new_jvm_obj(spark, _AGG_CLASS, [b, binbits])
 
 
 def available(spark: SparkSession) -> bool:
@@ -280,3 +292,98 @@ def sketch_jvm_udaf(
     fin = _finalize_udf(finalize)
     outname = "sketch" if finalize == "sketch" else est_col
     return agged.select(*by, fin(F.col("__blob")).alias(outname))
+
+
+# ---------------------------------------------------------------------------
+# sibling aggregate buffers: CountMin and Bloom (same jar, same pattern —
+# flat JVM buffer per group, canonical serialization in Python)
+# ---------------------------------------------------------------------------
+
+
+def _sibling_udaf_column(spark: SparkSession, hash_col: Column, cls_name: str, args: list) -> Column:
+    jagg = _new_jvm_obj(spark, cls_name, args)
+    if jagg is None:
+        raise RuntimeError(
+            "hllspark-udaf.jar not loadable in this session; create the session "
+            "with hllspark.jvm_udaf.configure_builder or use the groupBy builders "
+            "in hllspark.sketches.jvm (byte-identical sketches)"
+        )
+    jvm = spark._jvm
+    judf = jvm.org.apache.spark.sql.functions.udaf(jagg, jvm.org.apache.spark.sql.Encoders.LONG())
+    return _to_col(judf.apply(_col_seq(spark, [hash_col])))
+
+
+def _cm_blob_to_bytes(buf) -> bytes | None:
+    """CountMinAggregator blob → canonical CountMin bytes (None = all-NULL)."""
+    from .core.hll import HASH_XXHASH_SPARK
+    from .sketches.countmin import CountMin
+
+    buf = bytes(buf)
+    if buf[0] != 1:
+        raise ValueError(f"unknown countmin blob version {buf[0]}")
+    width = int.from_bytes(buf[1:5], "little", signed=True)
+    depth = int.from_bytes(buf[5:9], "little", signed=True)
+    total = int.from_bytes(buf[9:17], "little", signed=True)
+    if total == 0:
+        return None
+    counts = np.frombuffer(buf, dtype="<i8", count=depth * width, offset=17)
+    st = CountMin(width, depth, counts.astype(np.uint64).reshape(depth, width), total, HASH_XXHASH_SPARK)
+    return st.to_bytes()
+
+
+def _bloom_blob_to_bytes(buf) -> bytes | None:
+    """BloomAggregator blob → canonical Bloom bytes (None = all-NULL)."""
+    from .core.hll import HASH_XXHASH_SPARK
+    from .sketches.bloom import Bloom
+
+    buf = bytes(buf)
+    if buf[0] != 1:
+        raise ValueError(f"unknown bloom blob version {buf[0]}")
+    m_bits = int.from_bytes(buf[1:9], "little", signed=True)
+    k = int.from_bytes(buf[9:13], "little", signed=True)
+    n_added = int.from_bytes(buf[13:21], "little", signed=True)
+    if n_added == 0:
+        return None
+    bits = np.frombuffer(buf, dtype=np.uint8, count=(m_bits + 7) // 8, offset=21).copy()
+    return Bloom(m_bits, k, bits, n_added, HASH_XXHASH_SPARK).to_bytes()
+
+
+def _sibling_sketch(df: DataFrame, value_col: str, by, cls_name: str, args: list, blob_fn) -> DataFrame:
+    from .agg import jvm_hash_expr
+
+    by = list(by or [])
+    spark = df.sparkSession
+    acol = _sibling_udaf_column(spark, jvm_hash_expr(df, value_col), cls_name, args)
+    gb = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
+    agged = gb.agg(acol.alias("__blob"))
+
+    @pandas_udf("binary")
+    def fin(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda v: None if v is None else blob_fn(v))
+
+    return agged.select(*by, fin(F.col("__blob")).alias("sketch"))
+
+
+def countmin_jvm_udaf(
+    df: DataFrame, value_col: str, by: Sequence[str] | None = None, width: int = 4096, depth: int = 5
+) -> DataFrame:
+    """Count-Min as a single JVM aggregate buffer (long[depth×width] per
+    group, elementwise-add merge) — byte-identical sketches to
+    sketches.jvm.countmin_jvm and the python engine (tested).
+
+    Trade-off vs the groupBy builder: the buffer ships depth×width×8 bytes
+    per (partition, key) regardless of occupancy, where the groupBy builder
+    ships only occupied (j, bucket) count rows — prefer THIS for wide inputs
+    with few group keys, the groupBy builder for high-cardinality grouping
+    over sparse keys."""
+    return _sibling_sketch(df, value_col, by, "hllsparkjvm.CountMinAggregator", [width, depth], _cm_blob_to_bytes)
+
+
+def bloom_jvm_udaf(
+    df: DataFrame, value_col: str, by: Sequence[str] | None = None, m_bits: int = 1 << 20, k: int = 7
+) -> DataFrame:
+    """Bloom filter as a single JVM aggregate buffer (bit-packed
+    byte[m/8] per group, OR merge) — byte-identical to
+    sketches.jvm.bloom_jvm and the python engine (tested).  Same
+    ships-full-buffer trade-off as countmin_jvm_udaf."""
+    return _sibling_sketch(df, value_col, by, "hllsparkjvm.BloomAggregator", [m_bits, k], _bloom_blob_to_bytes)

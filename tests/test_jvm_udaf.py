@@ -140,3 +140,44 @@ def test_udaf_high_cardinality_grouping_sort_fallback(udaf_spark):
     u = _by_key(ju.sketch_jvm_udaf(df, "v", ["g"]), ["g"])
     d = _by_key(agg.sketch_jvm_distributed(df, "v", ["g"]), ["g"])
     assert len(u) == 16384 and u == d
+
+
+def test_countmin_udaf_byte_parity(udaf_spark, sf001_dir):
+    """CountMin aggregate buffer vs the groupBy builder: byte-identical
+    sketches, grouped (incl. all-NULL group + NULL key) and global."""
+    from hllspark.sketches.jvm import countmin_jvm
+
+    ev = udaf_spark.read.parquet(f"{sf001_dir}/events.parquet")
+    u = _by_key(ju.countmin_jvm_udaf(ev, "user_id", ["event_type"], width=512, depth=4), ["event_type"])
+    g = _by_key(countmin_jvm(ev, "user_id", ["event_type"], width=512, depth=4), ["event_type"])
+    assert u == g and len(u) >= 2
+
+    rows = [(1, 10), (1, 11), (2, None), (None, 12)]
+    df = udaf_spark.createDataFrame(rows, "g int, v int")
+    u2 = _by_key(ju.countmin_jvm_udaf(df, "v", ["g"], width=64, depth=3), ["g"])
+    g2 = _by_key(countmin_jvm(df, "v", ["g"], width=64, depth=3), ["g"])
+    assert u2 == g2
+    assert u2[(2,)] is None and u2[(None,)] is not None
+
+    ug = ju.countmin_jvm_udaf(ev, "user_id", width=512, depth=4).first()["sketch"]
+    gg = countmin_jvm(ev, "user_id", width=512, depth=4).first()["sketch"]
+    assert bytes(ug) == bytes(gg)
+
+
+def test_bloom_udaf_byte_parity(udaf_spark, sf001_dir):
+    from hllspark.sketches.bloom import Bloom
+    from hllspark.sketches.jvm import bloom_jvm
+
+    o = udaf_spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    u = bytes(ju.bloom_jvm_udaf(o, "o_orderkey", m_bits=1 << 14, k=5).first()["sketch"])
+    g = bytes(bloom_jvm(o, "o_orderkey", m_bits=1 << 14, k=5).first()["sketch"])
+    assert u == g
+    # the parity bytes decode to a working filter
+    bf = Bloom.from_bytes(u)
+    assert bf.n_added == o.count()
+
+    rows = [(1, "a"), (1, "b"), (9, None)]
+    df = udaf_spark.createDataFrame(rows, "g int, v string")
+    u2 = _by_key(ju.bloom_jvm_udaf(df, "v", ["g"], m_bits=256, k=3), ["g"])
+    g2 = _by_key(bloom_jvm(df, "v", ["g"], m_bits=256, k=3), ["g"])
+    assert u2 == g2 and u2[(9,)] is None
