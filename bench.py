@@ -384,15 +384,16 @@ def main():
         "",
         "Repeat-run variance (context for the single-window numbers above): this VM's",
         "effective CPU/bandwidth swings 2-3× across minutes even with warmup +",
-        "interleaved best-of-N.  Five full interleaved windows measured 2026-08-16/17",
+        "interleaved best-of-N.  Six full interleaved windows measured 2026-08-16/17",
         "during round 3, ours-vs-DataSketches `hll_sketch_agg` wall-time ratio on the",
         "identical 32M-row table (ratio < 1 = ours faster): global 1.33× / 1.48× /",
-        "1.61× / 2.87× / 0.74×; grouped-by-lang 1.23× / 1.44× / 1.96× / 3.06× / 0.63×",
-        "— i.e. window noise dominates a ratio that centers near parity.  Same",
-        "windows, 2→8 scaling raw: 0.806 / 0.917 / 0.829 / 0.887 / 0.792 (vs-scan-floor",
-        "0.958 and 8→32 vs-scan-floor 0.907 in the last).  Any single window's number",
-        "should be read with that spread in mind; only ratios measured inside one",
-        "window are meaningful, and the scan-floor normalization is the stable signal.",
+        "1.61× / 2.87× / 0.74× / 1.36×; grouped-by-lang 1.23× / 1.44× / 1.96× /",
+        "3.06× / 0.63× / 1.16× — i.e. window noise dominates a ratio that centers",
+        "near parity.  Same windows, 2→8 scaling raw: 0.806 / 0.917 / 0.829 / 0.887 /",
+        "0.792 / 0.899 (vs-scan-floor 0.958 / 0.944 in the last two; 8→32",
+        "vs-scan-floor 0.907 / 1.0).  Any single window's number should be read with",
+        "that spread in mind; only ratios measured inside one window are meaningful,",
+        "and the scan-floor normalization is the stable signal.",
     ]
     bench_md.write_text("\n".join(lines) + "\n")
 

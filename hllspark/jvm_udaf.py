@@ -1,7 +1,9 @@
-"""JVM aggregate-buffer HLL engine (`engine="jvm_udaf"`).
+"""JVM aggregate-buffer engines (`engine="jvm_udaf"` + sibling builders).
 
-The register reduction runs as a typed JVM Aggregator
-(jvm/src/hllsparkjvm/HllRegisterAggregator.java).  Registered through
+The HLL register reduction runs as a typed JVM Aggregator
+(jvm/src/hllsparkjvm/HllRegisterAggregator.java); CountMin and Bloom have
+sibling aggregate buffers in the same jar (countmin_jvm_udaf /
+bloom_jvm_udaf, flat long[]/bitset buffers).  Registered through
 ``functions.udaf`` Spark wraps it in a ``ScalaAggregator``, which is a
 ``TypedImperativeAggregate``: one mutable buffer object per group, updated
 in place per row inside ObjectHashAggregate — the flat-buffer shape of
