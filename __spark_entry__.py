@@ -648,6 +648,43 @@ def q_exhaustive_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_countmin_bloom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountMin + Bloom AGGREGATE-BUFFER builders (jvm/src typed Aggregators)
+    end-to-end: point-frequency bounds AND membership of every event type,
+    falling back to the groupBy builders where the jar can't load — sketches
+    are byte-identical either way (tests/test_jvm_udaf.py)."""
+    import pandas as pd
+
+    from hllspark import agg
+    from hllspark.core.xxhash import xxh64_strings
+    from hllspark.sketches import Bloom, CountMin
+
+    e = _read(spark, sf_dir, "events")
+    if agg._udaf_available(spark):
+        from hllspark.jvm_udaf import bloom_jvm_udaf, countmin_jvm_udaf
+
+        cm_df = countmin_jvm_udaf(e, "event_type", width=4096, depth=5)
+        bf_df = bloom_jvm_udaf(e, "event_type", m_bits=1 << 16, k=5)
+    else:
+        from hllspark.sketches.jvm import bloom_jvm, countmin_jvm
+
+        cm_df = countmin_jvm(e, "event_type", width=4096, depth=5)
+        bf_df = bloom_jvm(e, "event_type", m_bits=1 << 16, k=5)
+    cm = CountMin.from_bytes(bytes(cm_df.first()["sketch"]))
+    bf = Bloom.from_bytes(bytes(bf_df.first()["sketch"]))
+    exact = {r["event_type"]: r["c"] for r in e.groupBy("event_type").agg(F.count("*").alias("c")).collect()}
+    keys = sorted(exact)
+    h = xxh64_strings(pd.Series(keys))  # hash_kind=HASH_XXHASH_SPARK probes
+    est = cm.query_hashes(h)
+    member = bf.contains_hashes(h)
+    bound = 3 * cm.epsilon * cm.total
+    rows = [
+        (k, int(exact[k]), bool(exact[k] <= int(v) <= exact[k] + bound) and bool(m))
+        for k, v, m in zip(keys, est, member)
+    ]
+    return spark.createDataFrame(rows, "event_type string, exact_freq long, within_bound boolean")
+
+
 def q_hll_info_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-arg hyperloglog_info(): library defaults dump
     (hyperloglog_counter.c:994-1001)."""
@@ -708,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "distinct_custkey_jvm_udaf": q_distinct_custkey_jvm_udaf,
         "exhaustive_bucket_pairs": q_exhaustive_bucket_pairs,
+        "countmin_bloom_udaf": q_countmin_bloom_udaf,
         "hll_info_defaults": q_hll_info_defaults,
     }
 
@@ -877,6 +915,12 @@ def oracle_sql() -> dict[str, str]:
         "exhaustive_bucket_pairs": (
             "SELECT CAST(499500 AS BIGINT) AS n_exhaustive, "
             "CAST(49831 AS BIGINT) AS n_connected, CAST(49831 AS BIGINT) AS n_budget_fallback"
+        ),
+        # same exact frequencies as countmin_event_freq — the aggregate-buffer
+        # builders must agree with the groupBy builders and the bounds
+        "countmin_bloom_udaf": (
+            "SELECT event_type, count(*) AS exact_freq, TRUE AS within_bound "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         # hyperloglog_counter.c:994-1001 defaults (STRUCT_VERSION here is the
         # library's own v2 — sparse group-varint + hash-kind flags)
