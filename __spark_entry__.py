@@ -660,12 +660,17 @@ def q_countmin_bloom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hllspark.sketches import Bloom, CountMin
 
     e = _read(spark, sf_dir, "events")
+    cm_df = bf_df = None
     if agg._udaf_available(spark):
-        from hllspark.jvm_udaf import bloom_jvm_udaf, countmin_jvm_udaf
+        try:
+            from hllspark.jvm_udaf import bloom_jvm_udaf, countmin_jvm_udaf
 
-        cm_df = countmin_jvm_udaf(e, "event_type", width=4096, depth=5)
-        bf_df = bloom_jvm_udaf(e, "event_type", m_bits=1 << 16, k=5)
-    else:
+            cm_df = countmin_jvm_udaf(e, "event_type", width=4096, depth=5)
+            bf_df = bloom_jvm_udaf(e, "event_type", m_bits=1 << 16, k=5)
+        except RuntimeError:
+            # version-skewed jar: HLL class present but not the siblings
+            cm_df = bf_df = None
+    if cm_df is None:
         from hllspark.sketches.jvm import bloom_jvm, countmin_jvm
 
         cm_df = countmin_jvm(e, "event_type", width=4096, depth=5)

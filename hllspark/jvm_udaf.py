@@ -122,20 +122,35 @@ def _reflect_new(spark: SparkSession, loader, cls_name: str, args: list):
 
 
 def _new_jvm_obj(spark: SparkSession, cls_name: str, args: list):
-    """Instantiate any class from the udaf jar via the cached working path
-    (None when the jar isn't loadable in this session)."""
+    """Instantiate any class from the udaf jar via the cached working path.
+
+    Returns None when the jar isn't loadable in this session OR when THIS
+    class is missing from the jar that did load (version skew: e.g. a
+    cluster-deployed pre-round-3 jar has the HLL aggregator but not the
+    CountMin/Bloom siblings) — callers surface their own helpful error or
+    fall back, never a raw py4j 'JavaPackage not callable' crash.
+
+    A session where nothing resolves is NOT negatively cached: the probe
+    retries on the next call, so dropping a jar in (or installing a JDK)
+    mid-application starts working without a SparkContext restart."""
     key = _app_key(spark)
     if key not in _SESSION_CACHE:
-        _SESSION_CACHE[key] = _resolve(spark)
+        resolved = _resolve(spark)
+        if resolved[0] == "none":
+            return None
+        _SESSION_CACHE[key] = resolved
     mode, loader = _SESSION_CACHE[key]
-    if mode == "direct":
-        cls = spark._jvm
-        for part in cls_name.split("."):
-            cls = getattr(cls, part)
-        return cls(*args)
-    if mode == "loader":
+    try:
+        if mode == "direct":
+            cls = spark._jvm
+            for part in cls_name.split("."):
+                cls = getattr(cls, part)
+            obj = cls(*args)
+            obj.toString()  # a missing class resolves to a py4j package stub
+            return obj
         return _reflect_new(spark, loader, cls_name, args)
-    return None
+    except Exception:
+        return None
 
 
 def _new_aggregator(spark: SparkSession, b: int, binbits: int):
@@ -143,11 +158,17 @@ def _new_aggregator(spark: SparkSession, b: int, binbits: int):
 
 
 def available(spark: SparkSession) -> bool:
-    """Can this session run the JVM aggregate engine?  Cached per app."""
+    """Can this session run the JVM aggregate engine?  Positive results are
+    cached per app; a failed resolve is retried next call (see
+    _new_jvm_obj)."""
     key = _app_key(spark)
-    if key not in _SESSION_CACHE:
-        _SESSION_CACHE[key] = _resolve(spark)
-    return _SESSION_CACHE[key][0] != "none"
+    if key in _SESSION_CACHE:
+        return True
+    resolved = _resolve(spark)
+    if resolved[0] == "none":
+        return False
+    _SESSION_CACHE[key] = resolved
+    return True
 
 
 def configure_builder(builder, extra_jars: Sequence[str] = ()):
@@ -378,6 +399,9 @@ def countmin_jvm_udaf(
     ships only occupied (j, bucket) count rows — prefer THIS for wide inputs
     with few group keys, the groupBy builder for high-cardinality grouping
     over sparse keys."""
+    from .sketches.countmin import CountMin
+
+    CountMin.create(width=width, depth=depth)  # same validation as every sibling builder
     return _sibling_sketch(df, value_col, by, "hllsparkjvm.CountMinAggregator", [width, depth], _cm_blob_to_bytes)
 
 
@@ -388,4 +412,11 @@ def bloom_jvm_udaf(
     byte[m/8] per group, OR merge) — byte-identical to
     sketches.jvm.bloom_jvm and the python engine (tested).  Same
     ships-full-buffer trade-off as countmin_jvm_udaf."""
+    from .sketches.bloom import Bloom
+
+    Bloom.create(m_bits=m_bits, k=k)  # same validation as every sibling builder
+    if m_bits > (2**31 - 1) * 8:
+        # a JVM byte[] caps the buffer at 2^31-1 bytes (~17 Gbit); the
+        # numpy-backed builders have no such limit
+        raise ValueError("m_bits too large for the JVM buffer engine; use sketches.jvm.bloom_jvm")
     return _sibling_sketch(df, value_col, by, "hllsparkjvm.BloomAggregator", [m_bits, k], _bloom_blob_to_bytes)

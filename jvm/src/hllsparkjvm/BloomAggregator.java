@@ -46,9 +46,13 @@ public final class BloomAggregator
     public Buf() {}
 
     Buf(long mBits, int k) {
+      long nbytes = (mBits + 7) / 8;
+      if (mBits < 8 || nbytes > Integer.MAX_VALUE) {
+        throw new IllegalArgumentException("m_bits out of range for a JVM byte[] buffer: " + mBits);
+      }
       this.mBits = mBits;
       this.k = k;
-      this.bits = new byte[(int) ((mBits + 7) / 8)];
+      this.bits = new byte[(int) nbytes];
     }
 
     @Override

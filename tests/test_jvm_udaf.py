@@ -181,3 +181,23 @@ def test_bloom_udaf_byte_parity(udaf_spark, sf001_dir):
     u2 = _by_key(ju.bloom_jvm_udaf(df, "v", ["g"], m_bits=256, k=3), ["g"])
     g2 = _by_key(bloom_jvm(df, "v", ["g"], m_bits=256, k=3), ["g"])
     assert u2 == g2 and u2[(9,)] is None
+
+
+def test_sibling_param_validation_and_version_skew(udaf_spark):
+    """Review regressions: invalid sibling params must raise the same
+    ValueError as the groupBy builders (not build silently-wrong sketches),
+    and a class missing from the loaded jar (version skew) must surface as
+    the helpful RuntimeError, never a raw py4j crash."""
+    df = udaf_spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        ju.bloom_jvm_udaf(df, "v", k=0)
+    with pytest.raises(ValueError):
+        ju.bloom_jvm_udaf(df, "v", m_bits=4)
+    with pytest.raises(ValueError):
+        ju.countmin_jvm_udaf(df, "v", width=1)
+    with pytest.raises(ValueError):
+        ju.bloom_jvm_udaf(df, "v", m_bits=(2**31) * 8)
+    # missing class → None from the resolver → RuntimeError from the wrapper
+    assert ju._new_jvm_obj(udaf_spark, "hllsparkjvm.NoSuchAggregator", [1]) is None
+    with pytest.raises(RuntimeError):
+        ju._sibling_udaf_column(udaf_spark, F.col("v"), "hllsparkjvm.NoSuchAggregator", [1])
