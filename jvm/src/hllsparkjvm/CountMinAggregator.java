@@ -34,6 +34,12 @@ public final class CountMinAggregator
   private final int depth;
 
   public CountMinAggregator(int width, int depth) {
+    if ((long) depth * width > Integer.MAX_VALUE) {
+      // long[depth*width] multiplies two ints: without this guard a width
+      // >= ~2^26 at depth 64 wraps to a NegativeArraySizeException on the
+      // executors instead of a clear driver-side error
+      throw new IllegalArgumentException("depth * width exceeds the flat JVM buffer limit (2^31-1 cells)");
+    }
     this.width = width;
     this.depth = depth;
   }

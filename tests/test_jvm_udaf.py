@@ -201,3 +201,134 @@ def test_sibling_param_validation_and_version_skew(udaf_spark):
     assert ju._new_jvm_obj(udaf_spark, "hllsparkjvm.NoSuchAggregator", [1]) is None
     with pytest.raises(RuntimeError):
         ju._sibling_udaf_column(udaf_spark, F.col("v"), "hllsparkjvm.NoSuchAggregator", [1])
+
+
+# ---------------------------------------------------------------------------
+# round 4: MinHash + quantile (t-digest / KLL) aggregate buffers
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_udaf_byte_parity(udaf_spark, pages_small_dir):
+    """MinHash aggregate buffer vs the groupBy builder: min-merge is exact,
+    so byte parity holds unconditionally (grouped incl. NULL contract +
+    global), and the in-JVM xxhash64(h, lit(j)) replay must match Spark's
+    own expression chain."""
+    from hllspark.sketches.jvm import minhash_jvm
+    from hllspark.sketches.minhash import MinHash
+
+    pages = udaf_spark.read.parquet(pages_small_dir)
+    u = _by_key(ju.minhash_jvm_udaf(pages, "url", ["lang"], k=32), ["lang"])
+    g = _by_key(minhash_jvm(pages, "url", ["lang"], k=32), ["lang"])
+    assert u == g and len(u) >= 2
+
+    rows = [(1, "a"), (1, "b"), (2, None), (None, "c")]
+    df = udaf_spark.createDataFrame(rows, "g int, v string")
+    u2 = _by_key(ju.minhash_jvm_udaf(df, "v", ["g"], k=16), ["g"])
+    g2 = _by_key(minhash_jvm(df, "v", ["g"], k=16), ["g"])
+    assert u2 == g2
+    assert u2[(2,)] is None and u2[(None,)] is not None
+
+    ug = bytes(ju.minhash_jvm_udaf(pages, "url", k=32).first()["sketch"])
+    gg = bytes(minhash_jvm(pages, "url", k=32).first()["sketch"])
+    assert ug == gg
+    mh = MinHash.from_bytes(ug)
+    assert mh.k == 32 and mh.n_added == pages.count()
+
+    with pytest.raises(ValueError):
+        ju.minhash_jvm_udaf(df, "v", k=0)
+
+
+def test_tdigest_udaf_exact_mode_byte_parity(udaf_spark, sf001_dir):
+    """While every buffer stays under exact_capacity distinct values the
+    udaf engine must be byte-identical to the groupBy builder (the sorted
+    weighted fold is replayed verbatim at finalize)."""
+    from hllspark.sketches.jvm import tdigest_jvm
+
+    li = udaf_spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
+    u = _by_key(ju.tdigest_jvm_udaf(li, "l_extendedprice", ["l_returnflag"]), ["l_returnflag"])
+    g = _by_key(tdigest_jvm(li, "l_extendedprice", ["l_returnflag"]), ["l_returnflag"])
+    assert u == g and len(u) >= 2
+
+    ug = bytes(ju.tdigest_jvm_udaf(li, "l_quantity").first()["sketch"])
+    gg = bytes(tdigest_jvm(li, "l_quantity").first()["sketch"])
+    assert ug == gg
+
+
+def test_kll_udaf_exact_mode_byte_parity(udaf_spark, sf001_dir):
+    from hllspark.sketches.jvm import kll_jvm
+
+    li = udaf_spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
+    u = _by_key(ju.kll_jvm_udaf(li, "l_quantity", ["l_returnflag"]), ["l_returnflag"])
+    g = _by_key(kll_jvm(li, "l_quantity", ["l_returnflag"]), ["l_returnflag"])
+    assert u == g and len(u) >= 2
+
+    ug = bytes(ju.kll_jvm_udaf(li, "l_extendedprice").first()["sketch"])
+    gg = bytes(kll_jvm(li, "l_extendedprice").first()["sketch"])
+    assert ug == gg
+
+
+def test_quantile_udaf_null_contract(udaf_spark):
+    rows = [(1, 10.0), (1, 20.0), (1, float("nan")), (2, None), (2, float("nan")), (None, 5.0)]
+    df = udaf_spark.createDataFrame(rows, "g int, v double")
+    for fn in (ju.tdigest_jvm_udaf, ju.kll_jvm_udaf):
+        got = _by_key(fn(df, "v", ["g"]), ["g"])
+        assert got[(2,)] is None  # NULL + NaN only → SQL NULL sketch
+        assert got[(1,)] is not None and got[(None,)] is not None
+        # zero-rows global → one row, NULL sketch
+        empty = df.filter("v < -1e18")
+        assert fn(empty, "v").first()["sketch"] is None
+
+
+def test_quantile_udaf_digest_mode_accuracy(udaf_spark):
+    """Past exact_capacity the buffers fold into bounded sketches; quantile
+    estimates must stay inside the documented rank-error bounds while the
+    serialized state stays O(delta)/O(k) instead of O(distinct)."""
+    import numpy as np
+
+    from hllspark.sketches.kll import KLL
+    from hllspark.sketches.tdigest import TDigest
+
+    n = 200_000
+    # continuous, non-uniform, distinct ≈ n
+    df = udaf_spark.range(n).selectExpr("cast(xxhash64(id) as double) / 9.3e18 as v")
+    exact = np.sort(np.array([r["v"] for r in df.collect()]))
+
+    td_bytes = bytes(ju.tdigest_jvm_udaf(df, "v", delta=200, exact_capacity=1000).first()["sketch"])
+    td = TDigest.from_bytes(td_bytes)
+    assert td.n_centroids <= 4 * 200  # bounded, NOT O(distinct)
+    assert abs(td.total - n) < 1e-6
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = td.quantile(q)
+        true_rank = np.searchsorted(exact, est) / n
+        assert abs(true_rank - q) < 0.02, (q, est, true_rank)
+
+    kll_bytes = bytes(ju.kll_jvm_udaf(df, "v", k=400, exact_capacity=1000).first()["sketch"])
+    kl = KLL.from_bytes(kll_bytes)
+    assert sum(len(b) for b in kl.levels) <= 30 * 400  # bounded retained items
+    assert kl.total == n
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        est = kl.quantile(q)
+        true_rank = np.searchsorted(exact, est) / n
+        assert abs(true_rank - q) < 0.03, (q, est, true_rank)
+
+
+def test_quantile_udaf_mixed_mode_merge(udaf_spark):
+    """Skewed grouping: one group overflows exact_capacity (digest mode),
+    another stays exact — the exact group must STILL be byte-identical to
+    the groupBy builder (per-group mode independence), and the digest group
+    must carry the full total."""
+    import numpy as np
+
+    from hllspark.sketches.jvm import tdigest_jvm
+    from hllspark.sketches.tdigest import TDigest
+
+    big = udaf_spark.range(50_000).selectExpr("'hot' as g", "cast(xxhash64(id) as double) as v")
+    small = udaf_spark.range(40).selectExpr("'cold' as g", "cast(id as double) as v")
+    df = big.unionByName(small).repartition(8)
+    u = _by_key(ju.tdigest_jvm_udaf(df, "v", ["g"], exact_capacity=1000), ["g"])
+    g = _by_key(tdigest_jvm(df, "v", ["g"]), ["g"])
+    assert u[("cold",)] == g[("cold",)]  # exact mode: byte parity
+    hot = TDigest.from_bytes(u[("hot",)])
+    assert abs(hot.total - 50_000) < 1e-6
+    med = hot.quantile(0.5)
+    assert abs(med) < 0.05 * 9.3e18  # xxhash64 is ~uniform over int64

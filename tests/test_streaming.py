@@ -84,3 +84,51 @@ def test_running_distinct_stateful(spark, staged_events, tmp_path):
         k = r["event_type"]
         assert r["rows_seen"] == rows_exact[k]
         assert abs(r["est"] - exact[k]) / exact[k] < BOUND
+
+
+def test_sketch_stream_incremental_deltas(spark, tmp_path):
+    """Round-4 verdict item #3: per-batch written rows must track the batch's
+    TOUCHED keys, not the full accumulated key set, and compaction must fold
+    deltas without changing the merged state."""
+    sd = str(tmp_path / "state_inc")
+    ss = SketchStream(sd, "v", by=["k"], compact_every=3)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, v long")
+
+    ss(batch([("a", 1), ("a", 2)]), 0)
+    ss(batch([("b", 3)]), 1)
+    # two deltas, no compact yet; each delta holds only its touched keys
+    d0 = spark.read.parquet(f"{sd}/delta/v=0")
+    d1 = spark.read.parquet(f"{sd}/delta/v=1")
+    assert [r["k"] for r in d0.collect()] == ["a"]
+    assert [r["k"] for r in d1.collect()] == ["b"]
+
+    before = {r["k"]: bytes(r["sketch"]) for r in ss.state(spark).collect()}
+    ss(batch([("a", 9)]), 2)  # third delta triggers compaction
+    assert ss._versions(spark, "delta") == []  # folded
+    assert ss._versions(spark, "compact") == [2]
+
+    # 1000-key prior state, then a batch touching ONE key: the new delta is
+    # one row (the old design rewrote all 1001 keys every batch)
+    many = batch([(f"k{i}", i) for i in range(1000)])
+    ss(many, 3)
+    assert spark.read.parquet(f"{sd}/delta/v=3").count() == 1000
+    ss(batch([("a", 10)]), 4)
+    assert spark.read.parquet(f"{sd}/delta/v=4").count() == 1
+
+    # merged view = batch-built sketches over the full concatenation
+    from hllspark import agg
+
+    allrows = batch(
+        [("a", 1), ("a", 2), ("b", 3), ("a", 9)]
+        + [(f"k{i}", i) for i in range(1000)]
+        + [("a", 10)]
+    )
+    direct = {
+        r["k"]: bytes(r["sketch"])
+        for r in agg.sketch(allrows, "v", by=["k"], engine="python").collect()
+    }
+    got = {r["k"]: bytes(r["sketch"]) for r in ss.state(spark).collect()}
+    assert got == direct
+    assert before["b"] == got["b"]  # untouched key's sketch unchanged
