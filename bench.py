@@ -121,6 +121,45 @@ def headline_queries(spark, pages_path: str):
 
         tdigest_jvm(pages.select(F.unix_timestamp("warc_ts").alias("ts")), "ts").collect()
 
+    # 100k-key grouped distinct (per-domain shape): exercises the
+    # ObjectHashAggregate fallback threshold and the sketch-row shuffle at
+    # realistic key cardinality (round-3 verdict item #6) — udaf (aggregate
+    # buffer) vs DataSketches hll_sketch_agg, the same plan shape, in one
+    # window.  The groupBy register-reduction engine is NOT benched here:
+    # its per-key pandas assembly makes it ~100× slower at this cardinality
+    # (measured 147 s vs 1.45 s at 28k keys on a 100k-row input — the
+    # documented reason engine="auto" prefers the udaf path), which would
+    # dominate the suite wall time without adding information.
+    def _domains():
+        return pages.select(F.pmod(F.xxhash64("url"), F.lit(100_000)).alias("dom"), "url")
+
+    def q_highcard_grouped_100k_udaf():
+        from hllspark import jvm_udaf as ju
+
+        ju.sketch_jvm_udaf(_domains(), "url", ["dom"], finalize="estimate").collect()
+
+    def q_highcard_grouped_100k_datasketches():
+        _domains().groupBy("dom").agg(F.expr("hll_sketch_estimate(hll_sketch_agg(url, 14))")).collect()
+
+    # continuous double column (distinct ≈ row count): the groupBy quantile
+    # builder's value-count reduction degrades to shuffling one row per
+    # distinct value; the udaf two-mode buffer stays bounded (round-3
+    # verdict item #1).  Same 1/4 sample for both so the ratio is honest.
+    def _continuous():
+        return pages.select(F.xxhash64("url").alias("h")).where(
+            F.pmod(F.col("h"), F.lit(4)) == 0
+        ).select(F.col("h").cast("double").alias("v"))
+
+    def q_tdigest_continuous_udaf():
+        from hllspark import jvm_udaf as ju
+
+        ju.tdigest_jvm_udaf(_continuous(), "v").collect()
+
+    def q_tdigest_continuous_groupby():
+        from hllspark.sketches.jvm import tdigest_jvm
+
+        tdigest_jvm(_continuous(), "v").collect()
+
     def q_comparator_percentile_approx():
         pages.select(F.unix_timestamp("warc_ts").alias("ts")).agg(
             F.percentile_approx("ts", [0.1, 0.5, 0.9], 10000)
@@ -146,6 +185,10 @@ def headline_queries(spark, pages_path: str):
         "pages_distinct_texthash": q_pages_distinct_texthash,
         "reagg_stored_sketches": q_reagg_stored,
         "pages_ts_quantiles_tdigest": q_pages_ts_quantiles_tdigest,
+        "highcard_grouped_100k_udaf": q_highcard_grouped_100k_udaf,
+        "highcard_grouped_100k_datasketches": q_highcard_grouped_100k_datasketches,
+        "tdigest_continuous_udaf": q_tdigest_continuous_udaf,
+        "tdigest_continuous_groupby": q_tdigest_continuous_groupby,
         "comparator_percentile_approx": q_comparator_percentile_approx,
         "comparator_approx_count_distinct": q_comparator_approx_count_distinct,
         "comparator_datasketches_hll": q_comparator_datasketches_hll,
@@ -182,12 +225,15 @@ def _stream_worker(_):
     return iters * 2 * a.nbytes / (time.monotonic() - t0)
 
 
-def scaling_run(cores: int, pages_path: str, pages_rows: int) -> float:
-    """rows/sec of the flagship queries at a given parallelism: one warmup
-    (JVM JIT + Python worker pool + page cache) then ONE timed execution per
-    session — the caller interleaves two full rounds across all levels and
-    keeps each level's best, which defends against this VM's minute-scale
-    noise better than back-to-back reps in a single window would."""
+def scaling_run(cores: int, pages_path: str, pages_rows: int) -> tuple[float, float]:
+    """(flagship_rows_per_sec, scan_floor_rows_per_sec) at a given
+    parallelism: one warmup (JVM JIT + Python worker pool + page cache) then
+    ONE timed execution per session — the caller interleaves two full rounds
+    across all levels and keeps each level's best, which defends against
+    this VM's minute-scale noise better than back-to-back reps in a single
+    window would.  The second element is the bare parquet-scan envelope
+    (pages.agg(max(xxhash64(url))), zero Python, zero sketch) that bounds
+    any scan-bound query's scaling on this runtime+VM."""
     spark = make_spark(cores)
     try:
         from pyspark.sql import functions as F

@@ -97,3 +97,23 @@ def test_cosine_pairs_exact_and_lsh_recall(spark):
     assert lsh <= exact  # verification guarantees no false positives
     recall = len(lsh & planted) / len(planted)
     assert recall >= 0.8, recall
+
+
+def test_brute_force_candidates_bounded_per_partition(spark, emb, ground):
+    """Round-4 fix: the per-partition scan folds its running top-k across
+    Arrow batches, so the driver merge sees ≤ P×k×Q candidate rows even when
+    partitions span many small batches (forced here with a tiny Arrow batch
+    size)."""
+    ids, m, mn = ground
+    queries = m[:4]
+    P, K, Q = 6, 7, len(queries)
+    prior = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")  # many batches/partition
+    try:
+        out: list = []
+        got = ann.topk_cosine(emb.repartition(P), queries, k=K, _candidates_out=out)
+        assert out[0].count() <= P * K * Q
+        for qi in range(Q):
+            assert [i for i, _ in got[qi]] == exact_topk(mn, ids, m[qi], K)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prior)
