@@ -288,16 +288,20 @@ def verified_pairs(
     max_bucket: int = 1000,
     mode: str = "connected",
     exhaustive_budget: int = 50_000_000,
+    eager: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with estimated Jaccard ≥ threshold.
 
     Returns DataFrame[a, b, est_jaccard].  Verification = fraction of equal
     signature slots, computed JVM-side with zip_with.
 
-    NOTE: calling this EXECUTES the signature job eagerly
+    NOTE: by default calling this EXECUTES the signature job eagerly
     (localCheckpoint(eager=True) below) even before the returned DataFrame's
     first action — the signatures feed three subtrees of the final plan, so
-    deferring materialization would re-run the text scan three times."""
+    deferring materialization would re-run the text scan three times.
+    ``eager=False`` keeps the call fully lazy for composition into a larger
+    plan (the signature subtree then runs up to three times per action —
+    right when the caller composes/optimizes further or never executes)."""
     # docs shorter than one shingle have no signature content — an all-empty
     # pair would otherwise report J=1.0 (e.g. NULL text vs empty string)
     df = df.filter(F.length(F.coalesce(F.col(text_col), F.lit(""))) >= ngram)
@@ -306,7 +310,9 @@ def verified_pairs(
     # right — but cache() is plan-keyed (a later identical call would skip
     # the scan, poisoning timings) and never unpersisted.  Checkpoint blocks
     # are object-keyed and GC-cleaned.
-    sig_df = minhash_signatures(df, id_col, text_col, k=k, ngram=ngram).localCheckpoint(eager=True)
+    sig_df = minhash_signatures(df, id_col, text_col, k=k, ngram=ngram)
+    if eager:
+        sig_df = sig_df.localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(
         sig_df, id_col, bands=bands, max_bucket=max_bucket, mode=mode, exhaustive_budget=exhaustive_budget
     )

@@ -8,3 +8,11 @@ from .countmin import CountMin  # noqa: F401
 from .kll import KLL  # noqa: F401
 from .minhash import MinHash  # noqa: F401
 from .tdigest import TDigest  # noqa: F401
+
+
+def build(df, value_col, kind, by=None, engine="auto", **params):
+    """engine="auto" sibling-sketch builder (see sketches.router) — lazy
+    import so the pyspark-free core stays importable without Spark."""
+    from .router import build as _build
+
+    return _build(df, value_col, kind, by=by, engine=engine, **params)

@@ -1,0 +1,88 @@
+"""engine="auto" routing for the sibling sketches — the same three-tier
+engine surface agg.sketch gives HLL, for count-min / Bloom / MinHash /
+t-digest / KLL:
+
+- ``jvm_udaf``: typed aggregate buffer in dist/hllspark-udaf.jar (preferred
+  by auto when the jar loads — flat buffer per group, one Arrow-batch
+  finalize over all groups; the only engine whose per-key cost doesn't grow
+  with group cardinality, and for the quantile sketches the only one
+  bounded on continuous columns);
+- ``jvm``: the no-jar groupBy builders (hllspark.sketches.jvm) — fully
+  Catalyst reductions, byte-identical sketches, but per-key pandas assembly
+  (count-min/Bloom/quantiles) that dominates past ~10^4 group keys;
+- ``python``: agg.sketch_generic with jvm_prehash=True — per-partition
+  Arrow builds, never shuffles raw values; same bytes again.
+
+All engines produce byte-identical sketches for the same params (the
+sibling engine-parity invariant, tests/test_jvm_udaf.py + test_jvm_engine)
+except the quantile sketches past ``exact_capacity`` distinct values per
+buffer, where only jvm_udaf stays bounded (documented there).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+_KINDS = ("countmin", "bloom", "minhash", "tdigest", "kll")
+
+
+def build(
+    df: DataFrame,
+    value_col: str,
+    kind: str,
+    by: Sequence[str] | None = None,
+    engine: str = "auto",
+    **params,
+) -> DataFrame:
+    """DataFrame[by..., sketch] of ``kind`` sketches via the chosen engine.
+
+    ``params`` are the kind's create() parameters (countmin: width/depth;
+    bloom: m_bits/k; minhash: k; tdigest: delta [+ exact_capacity on the
+    udaf engine]; kll: k [+ exact_capacity]).
+    """
+    if kind not in _KINDS:
+        raise ValueError(f"unknown sketch kind {kind!r}; expected one of {_KINDS}")
+    if engine == "auto":
+        from ..agg import _udaf_available
+
+        engine = "jvm_udaf" if _udaf_available(df.sparkSession) else "jvm"
+    if engine == "jvm_udaf":
+        from .. import jvm_udaf
+
+        fn = {
+            "countmin": jvm_udaf.countmin_jvm_udaf,
+            "bloom": jvm_udaf.bloom_jvm_udaf,
+            "minhash": jvm_udaf.minhash_jvm_udaf,
+            "tdigest": jvm_udaf.tdigest_jvm_udaf,
+            "kll": jvm_udaf.kll_jvm_udaf,
+        }[kind]
+        return fn(df, value_col, by=by, **params)
+    if engine == "jvm":
+        from . import jvm as jvm_builders
+
+        params.pop("exact_capacity", None)  # udaf-engine-only knob
+        fn = {
+            "countmin": jvm_builders.countmin_jvm,
+            "bloom": jvm_builders.bloom_jvm,
+            "minhash": jvm_builders.minhash_jvm,
+            "tdigest": jvm_builders.tdigest_jvm,
+            "kll": jvm_builders.kll_jvm,
+        }[kind]
+        return fn(df, value_col, by=by, **params)
+    if engine == "python":
+        from ..agg import sketch_generic
+        from ..core.hll import HASH_XXHASH_SPARK
+
+        params.pop("exact_capacity", None)
+        from . import KLL, Bloom, CountMin, MinHash, TDigest
+
+        cls = {"countmin": CountMin, "bloom": Bloom, "minhash": MinHash, "tdigest": TDigest, "kll": KLL}[kind]
+        if kind in ("tdigest", "kll"):
+            # quantile sketches ingest VALUES, not hashes — no prehash
+            factory = lambda: cls.create(**params)  # noqa: E731
+            return sketch_generic(df, value_col, factory, cls, by=by)
+        factory = lambda: cls.create(**params, hash_kind=HASH_XXHASH_SPARK)  # noqa: E731
+        return sketch_generic(df, value_col, factory, cls, by=by, jvm_prehash=True)
+    raise ValueError(f"unknown engine {engine!r}; expected auto/jvm_udaf/jvm/python")

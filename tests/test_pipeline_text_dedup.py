@@ -332,3 +332,15 @@ def test_extract_text_byte_identical(spark, pages_small_dir):
         F.sum((extract_text("html") == F.col("text")).cast("long")).alias("m")
     ).first()["m"]
     assert match == n and n > 0
+
+
+def test_verified_pairs_lazy_opt_out(spark, sf01_dir):
+    """eager=False keeps verified_pairs fully lazy (composable into larger
+    plans) and must produce the identical pair set."""
+    from hllspark.pipeline import dedup
+
+    df = spark.read.parquet(f"{sf01_dir}/documents.parquet").limit(400)
+    eager = {(r["a"], r["b"]) for r in dedup.verified_pairs(df, "doc_id", "text", threshold=0.8).collect()}
+    lazy_df = dedup.verified_pairs(df, "doc_id", "text", threshold=0.8, eager=False)
+    assert not lazy_df.isStreaming  # plain lazy DataFrame, no action ran yet
+    assert {(r["a"], r["b"]) for r in lazy_df.collect()} == eager
