@@ -47,7 +47,7 @@ def make_spark(cores: int):
         # default 128-key in-memory threshold falls back to sort-based
         # aggregation far too early for grouped sketches (affects the
         # DataSketches comparators identically — fair for both)
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
         # shuffle.partitions WELL ABOVE the core count, and let AQE coalesce
         # down: with partitions == cores, grouped partial aggregates
         # ANTI-SCALE on this box (measured: plain Spark groupBy(16k keys)

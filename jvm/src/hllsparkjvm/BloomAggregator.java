@@ -1,12 +1,12 @@
 package hllsparkjvm;
 
-import java.io.Externalizable;
-import java.io.IOException;
-import java.io.ObjectInput;
-import java.io.ObjectOutput;
 import java.nio.ByteBuffer;
 import java.nio.ByteOrder;
 
+import com.esotericsoftware.kryo.Kryo;
+import com.esotericsoftware.kryo.KryoSerializable;
+import com.esotericsoftware.kryo.io.Input;
+import com.esotericsoftware.kryo.io.Output;
 import org.apache.spark.sql.Encoder;
 import org.apache.spark.sql.Encoders;
 import org.apache.spark.sql.expressions.Aggregator;
@@ -35,7 +35,7 @@ public final class BloomAggregator
     this.k = k;
   }
 
-  public static final class Buf implements Externalizable {
+  public static final class Buf implements KryoSerializable, java.io.Serializable {
     private static final long serialVersionUID = 1L;
 
     long mBits;
@@ -55,21 +55,21 @@ public final class BloomAggregator
       this.bits = new byte[(int) nbytes];
     }
 
+    // Kryo buffer transport (see HllRegisterAggregator.Buf.write for why)
     @Override
-    public void writeExternal(ObjectOutput out) throws IOException {
+    public void write(Kryo kryo, Output out) {
       out.writeLong(mBits);
       out.writeInt(k);
-      out.writeLong(nAdded);
-      out.write(bits);
+      out.writeVarLong(nAdded, true);
+      out.writeBytes(bits);
     }
 
     @Override
-    public void readExternal(ObjectInput in) throws IOException {
+    public void read(Kryo kryo, Input in) {
       mBits = in.readLong();
       k = in.readInt();
-      nAdded = in.readLong();
-      bits = new byte[(int) ((mBits + 7) / 8)];
-      in.readFully(bits);
+      nAdded = in.readVarLong(true);
+      bits = in.readBytes((int) ((mBits + 7) / 8));
     }
   }
 
@@ -115,7 +115,7 @@ public final class BloomAggregator
 
   @Override
   public Encoder<Buf> bufferEncoder() {
-    return Encoders.javaSerialization(Buf.class);
+    return Encoders.kryo(Buf.class);
   }
 
   @Override

@@ -1,12 +1,12 @@
 package hllsparkjvm;
 
-import java.io.Externalizable;
-import java.io.IOException;
-import java.io.ObjectInput;
-import java.io.ObjectOutput;
 import java.nio.ByteBuffer;
 import java.nio.ByteOrder;
 
+import com.esotericsoftware.kryo.Kryo;
+import com.esotericsoftware.kryo.KryoSerializable;
+import com.esotericsoftware.kryo.io.Input;
+import com.esotericsoftware.kryo.io.Output;
 import org.apache.spark.sql.Encoder;
 import org.apache.spark.sql.Encoders;
 import org.apache.spark.sql.expressions.Aggregator;
@@ -44,7 +44,7 @@ public final class CountMinAggregator
     this.depth = depth;
   }
 
-  public static final class Buf implements Externalizable {
+  public static final class Buf implements KryoSerializable, java.io.Serializable {
     private static final long serialVersionUID = 1L;
 
     int width;
@@ -60,21 +60,25 @@ public final class CountMinAggregator
       this.counts = new long[depth * width];
     }
 
+    // Kryo buffer transport (see HllRegisterAggregator.Buf.write for why).
+    // Counts go var-length: most cells of a partial buffer hold small
+    // values (or zero), so varints shrink the shuffled record well below
+    // the flat 8 B/cell form.
     @Override
-    public void writeExternal(ObjectOutput out) throws IOException {
+    public void write(Kryo kryo, Output out) {
       out.writeInt(width);
       out.writeInt(depth);
-      out.writeLong(total);
-      for (long c : counts) out.writeLong(c);
+      out.writeVarLong(total, true);
+      for (long c : counts) out.writeVarLong(c, true);
     }
 
     @Override
-    public void readExternal(ObjectInput in) throws IOException {
+    public void read(Kryo kryo, Input in) {
       width = in.readInt();
       depth = in.readInt();
-      total = in.readLong();
+      total = in.readVarLong(true);
       counts = new long[depth * width];
-      for (int i = 0; i < counts.length; i++) counts[i] = in.readLong();
+      for (int i = 0; i < counts.length; i++) counts[i] = in.readVarLong(true);
     }
   }
 
@@ -120,7 +124,7 @@ public final class CountMinAggregator
 
   @Override
   public Encoder<Buf> bufferEncoder() {
-    return Encoders.javaSerialization(Buf.class);
+    return Encoders.kryo(Buf.class);
   }
 
   @Override

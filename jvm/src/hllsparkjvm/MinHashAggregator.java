@@ -1,12 +1,12 @@
 package hllsparkjvm;
 
-import java.io.Externalizable;
-import java.io.IOException;
-import java.io.ObjectInput;
-import java.io.ObjectOutput;
 import java.nio.ByteBuffer;
 import java.nio.ByteOrder;
 
+import com.esotericsoftware.kryo.Kryo;
+import com.esotericsoftware.kryo.KryoSerializable;
+import com.esotericsoftware.kryo.io.Input;
+import com.esotericsoftware.kryo.io.Output;
 import org.apache.spark.sql.Encoder;
 import org.apache.spark.sql.Encoders;
 import org.apache.spark.sql.expressions.Aggregator;
@@ -74,7 +74,7 @@ public final class MinHashAggregator
     return avalanche(h);
   }
 
-  public static final class Buf implements Externalizable {
+  public static final class Buf implements KryoSerializable, java.io.Serializable {
     private static final long serialVersionUID = 1L;
 
     long[] sig; // unsigned mins; -1L (uint64 max) == empty slot
@@ -87,19 +87,19 @@ public final class MinHashAggregator
       java.util.Arrays.fill(this.sig, -1L);
     }
 
+    // Kryo buffer transport (see HllRegisterAggregator.Buf.write for why)
     @Override
-    public void writeExternal(ObjectOutput out) throws IOException {
-      out.writeInt(sig.length);
-      out.writeLong(n);
-      for (long s : sig) out.writeLong(s);
+    public void write(Kryo kryo, Output out) {
+      out.writeVarInt(sig.length, true);
+      out.writeVarLong(n, true);
+      out.writeLongs(sig); // kryo 4.x API (no offset/count form)
     }
 
     @Override
-    public void readExternal(ObjectInput in) throws IOException {
-      int k = in.readInt();
-      n = in.readLong();
-      sig = new long[k];
-      for (int i = 0; i < k; i++) sig[i] = in.readLong();
+    public void read(Kryo kryo, Input in) {
+      int k = in.readVarInt(true);
+      n = in.readVarLong(true);
+      sig = in.readLongs(k);
     }
   }
 
@@ -144,7 +144,7 @@ public final class MinHashAggregator
 
   @Override
   public Encoder<Buf> bufferEncoder() {
-    return Encoders.javaSerialization(Buf.class);
+    return Encoders.kryo(Buf.class);
   }
 
   @Override

@@ -1,12 +1,12 @@
 package hllsparkjvm;
 
-import java.io.Externalizable;
-import java.io.IOException;
-import java.io.ObjectInput;
-import java.io.ObjectOutput;
 import java.nio.ByteBuffer;
 import java.nio.ByteOrder;
 
+import com.esotericsoftware.kryo.Kryo;
+import com.esotericsoftware.kryo.KryoSerializable;
+import com.esotericsoftware.kryo.io.Input;
+import com.esotericsoftware.kryo.io.Output;
 import org.apache.spark.sql.Encoder;
 import org.apache.spark.sql.Encoders;
 import org.apache.spark.sql.expressions.Aggregator;
@@ -94,7 +94,7 @@ public final class TDigestAggregator
     }
   }
 
-  public static final class Buf implements Externalizable {
+  public static final class Buf implements KryoSerializable, java.io.Serializable {
     private static final long serialVersionUID = 1L;
 
     int delta;
@@ -237,23 +237,24 @@ public final class TDigestAggregator
       }
     }
 
+    // Kryo buffer transport (see HllRegisterAggregator.Buf.write for why)
     @Override
-    public void writeExternal(ObjectOutput out) throws IOException {
-      out.writeInt(delta);
-      out.writeInt(exactCap);
+    public void write(Kryo kryo, Output out) {
+      out.writeVarInt(delta, true);
+      out.writeVarInt(exactCap, true);
       out.writeBoolean(map != null);
       if (map != null) {
-        out.writeInt(map.n);
+        out.writeVarInt(map.n, true);
         for (int i = 0; i < map.keys.length; i++) {
           if (map.counts[i] != 0) {
             out.writeLong(map.keys[i]);
-            out.writeLong(map.counts[i]);
+            out.writeVarLong(map.counts[i], true);
           }
         }
         return;
       }
       flushPending(); // ship only the folded centroids
-      out.writeInt(ncent);
+      out.writeVarInt(ncent, true);
       out.writeDouble(total);
       out.writeDouble(vmin);
       out.writeDouble(vmax);
@@ -262,21 +263,21 @@ public final class TDigestAggregator
     }
 
     @Override
-    public void readExternal(ObjectInput in) throws IOException {
-      delta = in.readInt();
-      exactCap = in.readInt();
+    public void read(Kryo kryo, Input in) {
+      delta = in.readVarInt(true);
+      exactCap = in.readVarInt(true);
       boolean exact = in.readBoolean();
       if (exact) {
         map = new DoubleCountMap();
-        int cnt = in.readInt();
+        int cnt = in.readVarInt(true);
         for (int i = 0; i < cnt; i++) {
           long bits = in.readLong();
-          map.add(Double.longBitsToDouble(bits), in.readLong());
+          map.add(Double.longBitsToDouble(bits), in.readVarLong(true));
         }
         return;
       }
       map = null;
-      ncent = in.readInt();
+      ncent = in.readVarInt(true);
       total = in.readDouble();
       vmin = in.readDouble();
       vmax = in.readDouble();
@@ -389,7 +390,7 @@ public final class TDigestAggregator
 
   @Override
   public Encoder<Buf> bufferEncoder() {
-    return Encoders.javaSerialization(Buf.class);
+    return Encoders.kryo(Buf.class);
   }
 
   @Override

@@ -332,3 +332,25 @@ def test_quantile_udaf_mixed_mode_merge(udaf_spark):
     assert abs(hot.total - 50_000) < 1e-6
     med = hot.quantile(0.5)
     assert abs(med) < 0.05 * 9.3e18  # xxhash64 is ~uniform over int64
+
+
+def test_kll_udaf_mixed_mode_merge(udaf_spark):
+    """KLL twin of the t-digest mixed-mode test: a hot group overflows into
+    compactor mode while a cold group stays exact — per-group mode
+    independence, full total carried, exact group byte-identical."""
+    import numpy as np
+
+    from hllspark.sketches.jvm import kll_jvm
+    from hllspark.sketches.kll import KLL
+
+    big = udaf_spark.range(50_000).selectExpr("'hot' as g", "cast(xxhash64(id) as double) as v")
+    small = udaf_spark.range(40).selectExpr("'cold' as g", "cast(id as double) as v")
+    df = big.unionByName(small).repartition(8)
+    u = _by_key(ju.kll_jvm_udaf(df, "v", ["g"], exact_capacity=1000), ["g"])
+    g = _by_key(kll_jvm(df, "v", ["g"]), ["g"])
+    assert u[("cold",)] == g[("cold",)]  # exact mode: byte parity
+    hot = KLL.from_bytes(u[("hot",)])
+    assert hot.total == 50_000
+    assert sum(len(b) for b in hot.levels) <= 30 * 200  # bounded retained items
+    med = hot.quantile(0.5)
+    assert abs(med) < 0.05 * 9.3e18  # xxhash64 ~uniform over int64

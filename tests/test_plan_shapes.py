@@ -98,3 +98,36 @@ def test_udaf_engine_plan_shape(spark, pages_small_dir):
     exch = plan.index("Exchange hashpartitioning")
     assert "ObjectHashAggregate" in plan[exch:], plan  # partial below the exchange
     assert "hllregisteraggregator" in plan.lower() or "HllRegisterAggregator".lower() in plan.lower(), plan
+
+
+def test_quantile_udaf_plan_shape(spark, pages_small_dir):
+    """Round-4 quantile aggregate buffers: ObjectHashAggregate with a
+    map-side partial, the scan pruned to the value column, ONE exchange of
+    buffer rows — the whole point is that a continuous column never
+    shuffles one row per distinct value (the groupBy builder's
+    groupBy(key, value).count() reduction does)."""
+    ju = pytest.importorskip("hllspark.jvm_udaf")
+    if not ju.available(spark):
+        pytest.skip("udaf jar not loadable")
+    pages = spark.read.parquet(pages_small_dir)
+    src = pages.select("lang", F.unix_timestamp("warc_ts").alias("ts"))
+    out = ju.tdigest_jvm_udaf(src, "ts", by=["lang"])
+    plan = _plan(out)
+    assert "ObjectHashAggregate" in plan, plan
+    assert "html" not in plan and "url" not in plan
+    exch = plan.index("Exchange hashpartitioning")
+    assert "ObjectHashAggregate" in plan[exch:], plan  # partial below the exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan  # buffers only, once
+    assert "tdigestaggregator" in plan.lower(), plan
+
+
+def test_minhash_udaf_plan_shape(spark, pages_small_dir):
+    ju = pytest.importorskip("hllspark.jvm_udaf")
+    if not ju.available(spark):
+        pytest.skip("udaf jar not loadable")
+    pages = spark.read.parquet(pages_small_dir)
+    out = ju.minhash_jvm_udaf(pages, "url", by=["lang"], k=32)
+    plan = _plan(out)
+    assert "ObjectHashAggregate" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "minhashaggregator" in plan.lower(), plan

@@ -13,7 +13,7 @@ def test_builder_gets_recommended_confs():
 
     b = hllspark.configure_session(SparkSession.builder.master("local[2]"))
     opts = b._options
-    assert opts["spark.sql.objectHashAggregate.sortBased.fallbackThreshold"] == "65536"
+    assert opts["spark.sql.objectHashAggregate.sortBased.fallbackThreshold"] == "131072"
     assert opts["spark.sql.shuffle.partitions"] == "256"
     assert opts["spark.sql.adaptive.enabled"] == "true"
     assert opts["spark.sql.execution.arrow.maxRecordsPerBatch"] == "131072"
