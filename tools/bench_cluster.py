@@ -14,7 +14,9 @@ single box can get):
 JVMs oversubscribe this 32-core host and collapse the measurement.)
 
 Same input (data/pages_scale), warmup + interleaved best-of-2 per size, the
-bare-scan floor measured alongside, results appended to BENCH/CLUSTER.md.
+bare-scan floor measured alongside; the generated report goes to
+BENCH/CLUSTER_LATEST.md (BENCH/CLUSTER.md keeps the hand-curated multi-window
+history — copy a new window row there after a run).
 The udaf jar ships to executors via spark.jars and the python package via
 addPyFile(dist/hllspark.zip) — i.e. the exact spark-submit artifact story.
 
@@ -62,7 +64,9 @@ def make_cluster_spark(execs: int, cores: int, mem_mb: int):
     # executors run their own python workers: ship the package like
     # spark-submit --py-files would
     zip_path = ROOT / "dist" / "hllspark.zip"
-    if not zip_path.exists():
+    sources = sorted((ROOT / "hllspark").rglob("*.py"))
+    stale = not zip_path.exists() or zip_path.stat().st_mtime < max(p.stat().st_mtime for p in sources)
+    if stale:  # a stale zip would ship last round's python to the executors
         sys.path.insert(0, str(ROOT / "tools"))
         from make_pyfiles import build
 
@@ -131,7 +135,9 @@ def main():
         "rows": rows,
     }
 
-    md = ROOT / "BENCH" / "CLUSTER.md"
+    # CLUSTER.md holds the hand-curated window history (round-4 change:
+    # a fresh run must not clobber it) — the generated report lands here
+    md = ROOT / "BENCH" / "CLUSTER_LATEST.md"
     md.parent.mkdir(exist_ok=True)
     md.write_text(
         "\n".join(
