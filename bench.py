@@ -141,6 +141,25 @@ def headline_queries(spark, pages_path: str):
     def q_highcard_grouped_100k_datasketches():
         _domains().groupBy("dom").agg(F.expr("hll_sketch_estimate(hll_sketch_agg(url, 14))")).collect()
 
+    # re-aggregation of a STORED 100k-sketch rollup table (the reference's
+    # sum(counter) workflow at per-domain scale) — JVM blob-merge aggregate
+    # buffer (hll_merge_udaf, round 4) vs the python merge path, same input.
+    # The rollup table is built once OUTSIDE the timed region.
+    reagg_dir = str(ROOT / "data" / "reagg_bench_100k")
+    if not (ROOT / "data" / "reagg_bench_100k" / "_SUCCESS").exists():
+        from hllspark import jvm_udaf as ju
+
+        ju.sketch_jvm_udaf(_domains(), "url", ["dom"]).write.mode("overwrite").parquet(reagg_dir)
+    stored = spark.read.parquet(reagg_dir)
+
+    def q_reagg_100k_stored_udaf():
+        from hllspark import jvm_udaf as ju
+
+        ju.hll_merge_udaf(stored.select("sketch"), "sketch", finalize="estimate").collect()
+
+    def q_reagg_100k_stored_python():
+        agg.merge_partials(stored.select("sketch")).collect()
+
     # continuous double column (distinct ≈ row count): the groupBy quantile
     # builder's value-count reduction degrades to shuffling one row per
     # distinct value; the udaf two-mode buffer stays bounded (round-3
@@ -187,6 +206,8 @@ def headline_queries(spark, pages_path: str):
         "pages_ts_quantiles_tdigest": q_pages_ts_quantiles_tdigest,
         "highcard_grouped_100k_udaf": q_highcard_grouped_100k_udaf,
         "highcard_grouped_100k_datasketches": q_highcard_grouped_100k_datasketches,
+        "reagg_100k_stored_udaf": q_reagg_100k_stored_udaf,
+        "reagg_100k_stored_python": q_reagg_100k_stored_python,
         "tdigest_continuous_udaf": q_tdigest_continuous_udaf,
         "tdigest_continuous_groupby": q_tdigest_continuous_groupby,
         "comparator_percentile_approx": q_comparator_percentile_approx,

@@ -222,16 +222,26 @@ def hll_udaf_column(spark: SparkSession, hash_col: Column, b: int, binbits: int)
 
 def _blob_to_hll(buf):
     """Rebuild the exact core.hll.HLL state from the aggregator's blob
-    (format: HllRegisterAggregator.finish docstring).  Returns None for the
-    empty blob (all-NULL or zero-row group → SQL NULL, reference contract)."""
+    (v1: HllRegisterAggregator.finish — pre-hashed build path, hash_kind is
+    always xxhash; v2: HllMergeAggregator.finish — stored-sketch merge path,
+    hash_kind carried in the blob).  Returns None for the empty blob
+    (all-NULL or zero-row group → SQL NULL, reference contract)."""
     from .core.hll import HASH_XXHASH_SPARK, HLL, sparse_capacity
 
     buf = bytes(buf)
     version, mode, b, binbits = buf[0], buf[1], buf[2], buf[3]
-    if version != 1:
+    if version == 1:
+        hash_kind = HASH_XXHASH_SPARK
+        off = 4
+    elif version == 2:
+        hash_kind = buf[4]
+        off = 5
+        if b == 0:
+            return None  # uninitialized merge buffer: every input was NULL
+    else:
         raise ValueError(f"unknown udaf blob version {version}")
-    nchain = int.from_bytes(buf[4:8], "little", signed=True)
-    off = 8
+    nchain = int.from_bytes(buf[off : off + 4], "little", signed=True)
+    off += 4
     chains = np.frombuffer(buf, dtype="<i8", count=nchain, offset=off)
     off += 8 * nchain
     if mode == 0:
@@ -243,13 +253,13 @@ def _blob_to_hll(buf):
         if len(encs) > sparse_capacity(b):
             # can't arise from the aggregator (it promotes at >cap) but keep
             # the invariant locally enforced
-            sk = HLL(b, binbits, encs, None, HASH_XXHASH_SPARK)
+            sk = HLL(b, binbits, encs, None, hash_kind)
             sk._promote()
         else:
-            sk = HLL(b, binbits, encs, None, HASH_XXHASH_SPARK)
+            sk = HLL(b, binbits, encs, None, hash_kind)
     else:
         regs = np.frombuffer(buf, dtype=np.uint8, count=1 << b, offset=off).copy()
-        sk = HLL(b, binbits, None, regs, HASH_XXHASH_SPARK)
+        sk = HLL(b, binbits, None, regs, hash_kind)
     if nchain:
         sk.add_hashes(chains.view(np.uint64))
     return sk
@@ -345,7 +355,8 @@ def _sibling_udaf_column(
             "in hllspark.sketches.jvm (byte-identical sketches)"
         )
     jvm = spark._jvm
-    jenc = jvm.org.apache.spark.sql.Encoders.DOUBLE() if encoder == "double" else jvm.org.apache.spark.sql.Encoders.LONG()
+    E = jvm.org.apache.spark.sql.Encoders
+    jenc = {"long": E.LONG, "double": E.DOUBLE, "binary": E.BINARY}[encoder]()
     judf = jvm.org.apache.spark.sql.functions.udaf(jagg, jenc)
     return _to_col(judf.apply(_col_seq(spark, [in_col])))
 
@@ -629,3 +640,49 @@ def kll_jvm_udaf(
         in_col=_quantile_in_expr(df, value_col),
         encoder="double",
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: merge of STORED canonical sketch blobs as a JVM aggregate buffer
+# ---------------------------------------------------------------------------
+
+
+def hll_merge_udaf(
+    df: DataFrame,
+    sketch_col: str = "sketch",
+    by: Sequence[str] | None = None,
+    finalize: str = "sketch",
+    est_col: str = "est",
+) -> DataFrame:
+    """The reference's ``sum(hyperloglog_estimator)`` / ``hyperloglog_merge``
+    re-aggregation (README.md:135-166) with the whole reduction in a JVM
+    aggregate buffer: every input row is a serialized counter (any v1/v2
+    payload encoding — raw/group-varint sparse, raw/bit-packed/deflated
+    dense), decoded and register-merged in place (HllMergeAggregator.java).
+    Byte-identical results to agg.merge_partials (tested); the aggregator is
+    parameterless — (b, binbits, hash_kind) are adopted from the first
+    counter and mismatches refuse to merge, like the reference
+    (hyperloglog.c:858-874) and the hash_kind contract.
+
+    This is the scale path for stored-sketch rollup tables (per-domain /
+    per-day counters re-aggregated with NO raw-data pass): one bounded
+    buffer per output group, no per-key Python until the final canonical
+    serialization.  NULL counters are skipped; a group of only NULLs yields
+    a SQL NULL sketch (strict-aggregate contract)."""
+    by = list(by or [])
+    spark = df.sparkSession
+    jagg = _new_jvm_obj(spark, "hllsparkjvm.HllMergeAggregator", [])
+    if jagg is None:
+        raise RuntimeError(
+            "hllspark-udaf.jar not loadable in this session; create the session "
+            "with hllspark.jvm_udaf.configure_builder or use agg.merge_partials "
+            "(byte-identical results)"
+        )
+    jvm = spark._jvm
+    judf = jvm.org.apache.spark.sql.functions.udaf(jagg, jvm.org.apache.spark.sql.Encoders.BINARY())
+    acol = _to_col(judf.apply(_col_seq(spark, [F.col(sketch_col)])))
+    gb = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
+    agged = gb.agg(acol.alias("__blob"))
+    fin = _finalize_udf(finalize)
+    outname = "sketch" if finalize == "sketch" else est_col
+    return agged.select(*by, fin(F.col("__blob")).alias(outname))

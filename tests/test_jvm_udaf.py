@@ -354,3 +354,93 @@ def test_kll_udaf_mixed_mode_merge(udaf_spark):
     assert sum(len(b) for b in hot.levels) <= 30 * 200  # bounded retained items
     med = hot.quantile(0.5)
     assert abs(med) < 0.05 * 9.3e18  # xxhash64 ~uniform over int64
+
+
+# ---------------------------------------------------------------------------
+# round 4: merge of stored canonical sketch blobs (HllMergeAggregator)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_merge_udaf_byte_parity_all_encodings(udaf_spark):
+    """Stored counters in EVERY serialized form (raw sparse, group-varint
+    sparse, raw dense, bit-packed dense, deflated dense) merged by the JVM
+    blob aggregator must be byte-identical to agg.merge_partials."""
+    import numpy as np
+
+    from hllspark.core.hash import hash_int64
+
+    rows = []
+    rng = np.random.RandomState(3)
+    for g in range(4):
+        for part in range(5):
+            h = HLL.create()  # murmur hash_kind
+            # g 0-1: ~250 distinct → merged groups STAY SPARSE (cap 1020);
+            # g 2-3: tens of thousands → dense
+            vals = rng.randint(0, 300 + 40_000 * (g // 2), size=80 + 3000 * (g // 2))
+            h.add_hashes(hash_int64(vals.astype(np.int64)))
+            blob = h.to_bytes(
+                packed=bool(part % 2),
+                compress=bool(part in (2, 3)),
+            )
+            rows.append((g, bytearray(blob)))
+    df = udaf_spark.createDataFrame(rows, "g int, sketch binary").repartition(6)
+    u = _by_key(ju.hll_merge_udaf(df, "sketch", ["g"]), ["g"])
+    p = _by_key(agg.merge_partials(df.select("g", "sketch"), ["g"]), ["g"])
+    assert u == p and len(u) == 4
+    # forms round-trip: decode and check dense/sparse mix actually occurred
+    kinds = {HLL.from_bytes(v).is_sparse for v in u.values()}
+    assert kinds == {True, False}
+
+    # global merge parity too
+    ug = bytes(ju.hll_merge_udaf(df.select("sketch"), "sketch").first()["sketch"])
+    pg = bytes(agg.merge_partials(df.select("sketch")).first()["sketch"])
+    assert ug == pg
+
+
+def test_hll_merge_udaf_null_and_estimates(udaf_spark):
+    import numpy as np
+
+    from hllspark.core.hash import hash_int64
+
+    h1 = HLL.create()
+    h1.add_hashes(hash_int64(np.arange(1000, dtype=np.int64)))
+    h2 = HLL.create()
+    h2.add_hashes(hash_int64(np.arange(500, 2000, dtype=np.int64)))
+    rows = [(1, bytearray(h1.to_bytes())), (1, bytearray(h2.to_bytes())), (1, None), (2, None)]
+    df = udaf_spark.createDataFrame(rows, "g int, sketch binary")
+    got = _by_key(ju.hll_merge_udaf(df, "sketch", ["g"]), ["g"])
+    assert got[(2,)] is None  # group of only NULL counters → SQL NULL
+    merged = HLL.from_bytes(got[(1,)])
+    direct = h1.copy().merge(h2)
+    assert merged.to_bytes() == direct.to_bytes()
+    # estimate finalizes
+    r = ju.hll_merge_udaf(df, "sketch", ["g"], finalize="estimate_bigint").collect()
+    ests = {row["g"]: row["est"] for row in r}
+    assert ests[2] == 0 and abs(ests[1] - 2000) < 2000 * 0.03
+
+
+def test_hll_merge_udaf_mismatch_refusal(udaf_spark):
+    """Mismatched precision or hash kind must refuse to merge (reference
+    hyperloglog.c:858-874 + the hash_kind contract) — loudly, not silently."""
+    import numpy as np
+
+    from hllspark.core.hll import HASH_XXHASH_SPARK
+    from hllspark.core.hash import hash_int64
+
+    a = HLL.create(b=14, binbits=6)
+    a.add_hashes(hash_int64(np.arange(10, dtype=np.int64)))
+    b_ = HLL.create(b=12, binbits=6)
+    b_.add_hashes(hash_int64(np.arange(10, dtype=np.int64)))
+    df = udaf_spark.createDataFrame(
+        [(bytearray(a.to_bytes()),), (bytearray(b_.to_bytes()),)], "sketch binary"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="different parameters"):
+        ju.hll_merge_udaf(df, "sketch").collect()
+
+    c = HLL.create(b=14, binbits=6, hash_kind=HASH_XXHASH_SPARK)
+    c.add_hashes(np.arange(10, dtype=np.uint64))
+    df2 = udaf_spark.createDataFrame(
+        [(bytearray(a.to_bytes()),), (bytearray(c.to_bytes()),)], "sketch binary"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="[Hh]ash kind"):
+        ju.hll_merge_udaf(df2, "sketch").collect()
