@@ -797,7 +797,9 @@ def q_reagg_stored_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _read(spark, sf_dir, "orders")
     per_group = agg.sketch(o, "o_custkey", by=["o_orderpriority"])
-    python_merged = agg.merge_partials(per_group.select("sketch"))
+    # engine pinned: merge_partials(engine="auto") routes through the udaf
+    # itself now — the parity check needs the INDEPENDENT pandas merge path
+    python_merged = agg.merge_partials(per_group.select("sketch"), engine="python")
     p_bytes = bytes(python_merged.first()["sketch"])
     udaf_matches = True
     if agg._udaf_available(spark):

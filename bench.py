@@ -158,7 +158,7 @@ def headline_queries(spark, pages_path: str):
         ju.hll_merge_udaf(stored.select("sketch"), "sketch", finalize="estimate").collect()
 
     def q_reagg_100k_stored_python():
-        agg.merge_partials(stored.select("sketch")).collect()
+        agg.merge_partials(stored.select("sketch"), engine="python").collect()
 
     # continuous double column (distinct ≈ row count): the groupBy quantile
     # builder's value-count reduction degrades to shuffling one row per

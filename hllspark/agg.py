@@ -342,15 +342,29 @@ def merge_partials(
     merge_rounds: int | None = None,
     sketch_col: str = "sketch",
     cls=HLL,
+    engine: str = "auto",
 ) -> DataFrame:
     """Phase 2: register-max merge of partial sketches (the prefunc,
     hyperloglog_merge_agg → hll_merge, hyperloglog.c:251-337).
 
-    Grouped: shuffle by key (optionally pre-bucketed when the partial count
-    is huge).  Global: log-depth tree fan-in, never collecting all partials
+    engine="auto" (HLL sketches, default topology, jar loadable) routes the
+    whole reduction through the JVM blob-merge aggregate buffer
+    (jvm_udaf.hll_merge_udaf — byte-identical results, tested; ~15× at 100k
+    stored sketches).  Requesting an explicit ``merge_rounds`` topology, a
+    non-HLL ``cls`` or ``engine="python"`` keeps the pandas merge paths:
+    grouped = shuffle by key (optionally pre-bucketed when the partial count
+    is huge); global = log-depth tree fan-in, never collecting all partials
     into one task until the fan-in is bounded.
     """
     by = list(by or [])
+    if engine == "auto" and cls is HLL and merge_rounds is None and _udaf_available(partials.sparkSession):
+        try:
+            from . import jvm_udaf
+
+            out = jvm_udaf.hll_merge_udaf(partials, sketch_col, by)
+            return out if sketch_col == "sketch" else out.withColumnRenamed("sketch", sketch_col)
+        except RuntimeError:
+            pass  # version-skewed jar without the merge class → python path
     out_fields = [f for f in partials.schema.fields if f.name in by]
     out_fields.append(StructField(sketch_col, BinaryType(), True))
     out_schema = StructType(out_fields)

@@ -444,3 +444,20 @@ def test_hll_merge_udaf_mismatch_refusal(udaf_spark):
     ).coalesce(1)
     with pytest.raises(Exception, match="[Hh]ash kind"):
         ju.hll_merge_udaf(df2, "sketch").collect()
+
+
+def test_merge_partials_auto_routes_through_udaf(udaf_spark):
+    """agg.merge_partials(engine='auto') must route HLL merges through the
+    JVM blob aggregator when the jar loads — byte-identical to the pandas
+    path, and the plan free of applyInPandas (FlatMapGroupsInPandas)."""
+    df = udaf_spark.range(4000).selectExpr("id % 5 as g", "id as v")
+    per = agg.sketch(df, "v", by=["g"])
+    auto = agg.merge_partials(per.select("sketch"))
+    pyth = agg.merge_partials(per.select("sketch"), engine="python")
+    assert bytes(auto.first()["sketch"]) == bytes(pyth.first()["sketch"])
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "ObjectHashAggregate" in plan
+    # explicit merge_rounds keeps the pandas topology (its invariance test
+    # must keep exercising the bucketed path)
+    pinned = agg.merge_partials(per.select("g", "sketch"), ["g"], merge_rounds=2)
+    assert "FlatMapGroupsInPandas" in pinned._jdf.queryExecution().executedPlan().toString()
