@@ -461,3 +461,38 @@ def test_merge_partials_auto_routes_through_udaf(udaf_spark):
     # must keep exercising the bucketed path)
     pinned = agg.merge_partials(per.select("g", "sketch"), ["g"], merge_rounds=2)
     assert "FlatMapGroupsInPandas" in pinned._jdf.queryExecution().executedPlan().toString()
+
+
+def test_blob_estimate_fast_path_bit_identical(udaf_spark):
+    """The sparse no-chain estimate fast path must be bit-identical to the
+    full _blob_to_hll construction, across sparse/dense/chain/v2 shapes."""
+    import numpy as np
+
+    b, binbits = 14, 6
+    rng = np.random.RandomState(11)
+
+    def blob_for(hs):
+        sdf = udaf_spark.createDataFrame([(int(x),) for x in hs], "h long").repartition(3)
+        col = ju.hll_udaf_column(udaf_spark, F.col("h"), b, binbits)
+        return bytes(sdf.groupBy().agg(col.alias("blob")).first()["blob"])
+
+    chain_rows = np.arange(1, 4, dtype=np.int64) << 39
+    cases = {
+        "sparse": rng.randint(-(2**63), 2**63, size=200, dtype=np.int64),
+        "dense": rng.randint(-(2**63), 2**63, size=60_000, dtype=np.int64),
+        "chains": np.concatenate([rng.randint(-(2**63), 2**63, size=50, dtype=np.int64), chain_rows]),
+    }
+    for name, hs in cases.items():
+        blob = blob_for(hs)
+        fast = ju._blob_estimate(blob)
+        full = ju._blob_to_hll(blob).estimate()
+        assert fast == full, name  # bit-identical, not approximately
+
+    # v2 merge blob: estimate through hll_merge_udaf's finalize
+    h = HLL.create()
+    from hllspark.core.hash import hash_int64
+
+    h.add_hashes(hash_int64(np.arange(700, dtype=np.int64)))
+    df = udaf_spark.createDataFrame([(bytearray(h.to_bytes()),)], "sketch binary")
+    est = ju.hll_merge_udaf(df, "sketch", finalize="estimate").first()["est"]
+    assert est == h.estimate()
