@@ -706,34 +706,41 @@ def q_quantiles_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     n = li.count()
     rows = []
-    use_udaf = agg._udaf_available(spark)
-    if use_udaf:
+    udaf_result = None
+    if agg._udaf_available(spark):
         try:
             from hllspark.jvm_udaf import kll_jvm_udaf, tdigest_jvm_udaf
+
+            # the CALLS are guarded (not just the import): a version-skewed
+            # jar passes the HLL availability probe but raises RuntimeError
+            # when THIS aggregator class is missing — fall back then.
+            # exact_capacity must exceed the column's distinct count for the
+            # byte-parity contract (sf0.01 l_extendedprice has ~50k distinct)
+            td_b = bytes(tdigest_jvm_udaf(li, "l_extendedprice", exact_capacity=200_000).first()["sketch"])
+            exact_parity = td_b == bytes(tdigest_jvm(li, "l_extendedprice").first()["sketch"])
+            kll_b = bytes(kll_jvm_udaf(li, "l_quantity").first()["sketch"])
+            exact_parity = exact_parity and kll_b == bytes(kll_jvm(li, "l_quantity").first()["sketch"])
+            # continuous column, digest mode forced (exact_capacity << distinct)
+            cont = li.select((F.col("l_extendedprice") + F.col("l_orderkey") / F.lit(1e9)).alias("v"))
+            dig = TDigest.from_bytes(
+                bytes(tdigest_jvm_udaf(cont, "v", exact_capacity=500).first()["sketch"])
+            )
+            kdig = KLL.from_bytes(bytes(kll_jvm_udaf(cont, "v", exact_capacity=500).first()["sketch"]))
+            drows = []
+            for name, sk, tol in (("digest", dig, 0.02), ("compactor", kdig, 0.03)):
+                ok = True
+                for q in (0.1, 0.5, 0.9):
+                    rank = cont.filter(F.col("v") <= sk.quantile(q)).count() / n
+                    ok = ok and abs(rank - q) <= tol
+                drows.append((f"td_{name}_ranks" if name == "digest" else "kll_compactor_ranks", bool(ok)))
+            udaf_result = (td_b, exact_parity, drows)
         except RuntimeError:
-            use_udaf = False
-    if use_udaf:
-        # exact_capacity must exceed the column's distinct count for the
-        # byte-parity contract (sf0.01 l_extendedprice has ~50k distinct)
-        td_b = bytes(tdigest_jvm_udaf(li, "l_extendedprice", exact_capacity=200_000).first()["sketch"])
-        exact_parity = td_b == bytes(tdigest_jvm(li, "l_extendedprice").first()["sketch"])
-        kll_b = bytes(kll_jvm_udaf(li, "l_quantity").first()["sketch"])
-        exact_parity = exact_parity and kll_b == bytes(kll_jvm(li, "l_quantity").first()["sketch"])
-        # continuous column, digest mode forced (exact_capacity << distinct)
-        cont = li.select((F.col("l_extendedprice") + F.col("l_orderkey") / F.lit(1e9)).alias("v"))
-        dig = TDigest.from_bytes(
-            bytes(tdigest_jvm_udaf(cont, "v", exact_capacity=500).first()["sketch"])
-        )
-        kdig = KLL.from_bytes(bytes(kll_jvm_udaf(cont, "v", exact_capacity=500).first()["sketch"]))
-        for name, sk, tol in (("digest", dig, 0.02), ("compactor", kdig, 0.03)):
-            ok = True
-            for q in (0.1, 0.5, 0.9):
-                rank = cont.filter(F.col("v") <= sk.quantile(q)).count() / n
-                ok = ok and abs(rank - q) <= tol
-            rows.append((f"td_{name}_ranks" if name == "digest" else "kll_compactor_ranks", bool(ok)))
+            udaf_result = None  # skewed jar → groupBy-builder fallback below
+    if udaf_result is not None:
+        td_b, exact_parity, drows = udaf_result
+        rows += drows
     else:
         td_b = bytes(tdigest_jvm(li, "l_extendedprice").first()["sketch"])
-        kll_b = bytes(kll_jvm(li, "l_quantity").first()["sketch"])
         exact_parity = True  # vacuous without the jar; builders ARE the reference
         rows += [("td_digest_ranks", True), ("kll_compactor_ranks", True)]
     td = TDigest.from_bytes(td_b)

@@ -252,7 +252,12 @@ def _blob_to_hll(buf):
         # halves the per-blob finalize cost vs np.unique (measured 10.9 →
         # ~6 µs/blob, which is 25% of a 100k-group query)
         encs = np.sort(np.frombuffer(buf, dtype="<u4", count=n, offset=off))
-        if n == 0 and nchain == 0:
+        if n == 0 and nchain == 0 and version == 1:
+            # v1 build path: zero ingested values → all-NULL group → SQL NULL.
+            # v2 (stored-blob merge) marks all-NULL with b == 0 (checked
+            # above); n == 0 there is a LEGITIMATE empty stored counter and
+            # must round-trip as one — the python merge path keeps it, and
+            # byte parity with merge_partials requires we do too
             return None
         if len(encs) > sparse_capacity(b):
             # can't arise from the aggregator (it promotes at >cap) but keep
@@ -288,7 +293,8 @@ def _blob_estimate(buf):
         if nchain == 0:
             n = int.from_bytes(b_[off + 4 : off + 8], "little", signed=True)
             if n == 0:
-                return None
+                # v1: all-NULL → NULL; v2: a valid EMPTY stored counter
+                return None if version == 1 else _estimate_sparse(0, binbits)
             return _estimate_sparse(n, binbits)
     sk = _blob_to_hll(b_)
     return None if sk is None else sk.estimate()
@@ -696,16 +702,16 @@ def hll_merge_udaf(
     a SQL NULL sketch (strict-aggregate contract)."""
     by = list(by or [])
     spark = df.sparkSession
-    jagg = _new_jvm_obj(spark, "hllsparkjvm.HllMergeAggregator", [])
-    if jagg is None:
-        raise RuntimeError(
-            "hllspark-udaf.jar not loadable in this session; create the session "
-            "with hllspark.jvm_udaf.configure_builder or use agg.merge_partials "
-            "(byte-identical results)"
+    try:
+        acol = _sibling_udaf_column(
+            spark, F.col(sketch_col), "hllsparkjvm.HllMergeAggregator", [], encoder="binary"
         )
-    jvm = spark._jvm
-    judf = jvm.org.apache.spark.sql.functions.udaf(jagg, jvm.org.apache.spark.sql.Encoders.BINARY())
-    acol = _to_col(judf.apply(_col_seq(spark, [F.col(sketch_col)])))
+    except RuntimeError:
+        raise RuntimeError(
+            "hllspark-udaf.jar (with HllMergeAggregator) not loadable in this "
+            "session; create the session with hllspark.jvm_udaf.configure_builder "
+            "or use agg.merge_partials(engine='python') (byte-identical results)"
+        ) from None
     gb = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
     agged = gb.agg(acol.alias("__blob"))
     fin = _finalize_udf(finalize)

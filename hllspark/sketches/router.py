@@ -44,7 +44,8 @@ def build(
     """
     if kind not in _KINDS:
         raise ValueError(f"unknown sketch kind {kind!r}; expected one of {_KINDS}")
-    if engine == "auto":
+    auto = engine == "auto"
+    if auto:
         from ..agg import _udaf_available
 
         engine = "jvm_udaf" if _udaf_available(df.sparkSession) else "jvm"
@@ -58,7 +59,16 @@ def build(
             "tdigest": jvm_udaf.tdigest_jvm_udaf,
             "kll": jvm_udaf.kll_jvm_udaf,
         }[kind]
-        return fn(df, value_col, by=by, **params)
+        try:
+            return fn(df, value_col, by=by, **params)
+        except RuntimeError:
+            # version-skewed jar: the HLL probe class loaded but THIS
+            # aggregator is missing — auto falls back to the groupBy
+            # builders (byte-identical sketches); an EXPLICIT jvm_udaf
+            # request stays loud
+            if not auto:
+                raise
+            engine = "jvm"
     if engine == "jvm":
         from . import jvm as jvm_builders
 

@@ -97,11 +97,16 @@ class SketchStream:
                 out.append(int(name[2:]))
         return sorted(out)
 
-    def _view(self, spark: SparkSession) -> tuple[int, list[int], DataFrame | None]:
-        """(latest compact id or -1, live delta ids, lazy merged state)."""
+    def _ids(self, spark: SparkSession) -> tuple[int, list[int]]:
+        """(latest compact id or -1, live delta ids) — file listings only, no
+        parquet reads (the per-batch hot path needs just these)."""
         compacts = self._versions(spark, "compact")
         cv = compacts[-1] if compacts else -1
-        deltas = [d for d in self._versions(spark, "delta") if d > cv]
+        return cv, [d for d in self._versions(spark, "delta") if d > cv]
+
+    def _view(self, spark: SparkSession) -> tuple[int, list[int], DataFrame | None]:
+        """(latest compact id or -1, live delta ids, lazy merged state)."""
+        cv, deltas = self._ids(spark)
         parts = []
         if cv >= 0:
             parts.append(spark.read.parquet(self._compact_dir(cv)))
@@ -116,7 +121,7 @@ class SketchStream:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        cv, deltas, _ = self._view(spark)
+        cv, deltas = self._ids(spark)
         if batch_id <= cv or batch_id in deltas:
             return  # replayed batch — state already includes it (idempotent)
         partials = agg.build_partials(
@@ -130,18 +135,25 @@ class SketchStream:
             self._compact(spark, batch_id)
 
     def _compact(self, spark: SparkSession, batch_id: int) -> None:
-        """Fold the previous compact + all live deltas into compact/v=batch_id,
-        then drop the folded deltas and all older compacts but one (kept for
-        readers in flight)."""
+        """Fold the previous compact + all live deltas into compact/v=batch_id.
+
+        Deletion is DEFERRED one compaction cycle for readers in flight: a
+        lazy state() plan built just before this compact still references
+        the folded delta directories, so only deltas already covered by the
+        PREVIOUS compact (and compacts older than the last two) are removed
+        now — the just-folded deltas go when the NEXT compaction lands, by
+        which time any reader of the old view is a full cycle stale (the
+        same grace the pre-round-4 design gave its keep-last-2 versions)."""
         from .io import _hadoop_fs
 
-        cv, deltas, merged = self._view(spark)
+        cv_prev, _, merged = self._view(spark)
         if merged is None:
             return
         merged.write.mode("overwrite").parquet(self._compact_dir(batch_id))
         fs, _, jvm = _hadoop_fs(spark, self.state_dir)
-        for d in deltas:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(self._delta_dir(d)), True)
+        for d in self._versions(spark, "delta"):
+            if d <= cv_prev:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(self._delta_dir(d)), True)
         for c in self._versions(spark, "compact")[:-2]:
             fs.delete(jvm.org.apache.hadoop.fs.Path(self._compact_dir(c)), True)
 

@@ -496,3 +496,18 @@ def test_blob_estimate_fast_path_bit_identical(udaf_spark):
     df = udaf_spark.createDataFrame([(bytearray(h.to_bytes()),)], "sketch binary")
     est = ju.hll_merge_udaf(df, "sketch", finalize="estimate").first()["est"]
     assert est == h.estimate()
+
+
+def test_hll_merge_udaf_empty_counter_not_null(udaf_spark):
+    """Review regression: a LEGITIMATE empty stored counter (zero entries,
+    non-NULL blob) must survive the blob-merge as an empty sketch — NULL is
+    reserved for all-NULL groups.  Byte parity with the python merge."""
+    empty = HLL.create()
+    df = udaf_spark.createDataFrame([(1, bytearray(empty.to_bytes()))], "g int, sketch binary")
+    u = _by_key(ju.hll_merge_udaf(df, "sketch", ["g"]), ["g"])
+    p = _by_key(agg.merge_partials(df.select("g", "sketch"), ["g"], engine="python"), ["g"])
+    assert u == p
+    assert u[(1,)] is not None and HLL.from_bytes(u[(1,)]).estimate() == 0.0
+    # estimate finalize agrees (fast path v2 n=0 → 0.0, not NULL)
+    r = ju.hll_merge_udaf(df, "sketch", ["g"], finalize="estimate").first()
+    assert r["est"] == 0.0

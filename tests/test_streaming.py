@@ -106,8 +106,11 @@ def test_sketch_stream_incremental_deltas(spark, tmp_path):
 
     before = {r["k"]: bytes(r["sketch"]) for r in ss.state(spark).collect()}
     ss(batch([("a", 9)]), 2)  # third delta triggers compaction
-    assert ss._versions(spark, "delta") == []  # folded
+    # folded deltas survive ONE compaction cycle for readers in flight
+    # (deferred deletion); they are no longer part of the live view
     assert ss._versions(spark, "compact") == [2]
+    assert ss._ids(spark) == (2, [])
+    assert ss._versions(spark, "delta") == [0, 1, 2]
 
     # 1000-key prior state, then a batch touching ONE key: the new delta is
     # one row (the old design rewrote all 1001 keys every batch)
@@ -116,6 +119,9 @@ def test_sketch_stream_incremental_deltas(spark, tmp_path):
     assert spark.read.parquet(f"{sd}/delta/v=3").count() == 1000
     ss(batch([("a", 10)]), 4)
     assert spark.read.parquet(f"{sd}/delta/v=4").count() == 1
+    ss(batch([("b", 11)]), 5)  # second compaction: NOW the cycle-old deltas go
+    assert ss._versions(spark, "compact") == [2, 5]
+    assert all(d > 2 for d in ss._versions(spark, "delta"))
 
     # merged view = batch-built sketches over the full concatenation
     from hllspark import agg
@@ -123,7 +129,7 @@ def test_sketch_stream_incremental_deltas(spark, tmp_path):
     allrows = batch(
         [("a", 1), ("a", 2), ("b", 3), ("a", 9)]
         + [(f"k{i}", i) for i in range(1000)]
-        + [("a", 10)]
+        + [("a", 10), ("b", 11)]
     )
     direct = {
         r["k"]: bytes(r["sketch"])
@@ -131,4 +137,3 @@ def test_sketch_stream_incremental_deltas(spark, tmp_path):
     }
     got = {r["k"]: bytes(r["sketch"]) for r in ss.state(spark).collect()}
     assert got == direct
-    assert before["b"] == got["b"]  # untouched key's sketch unchanged
