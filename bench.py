@@ -469,6 +469,12 @@ def main():
         "across every window: stored-sketch re-aggregation (reagg_100k_stored)",
         "udaf 0.28-0.33 s vs python 5.1-10.3 s (15-36×), and continuous-column",
         "t-digest udaf 0.56-1.07 s vs the value-count groupBy builder 4.5-5.3 s.",
+        "Alternating-rep medians inside one session: highcard udaf ~2.3 s vs",
+        "DataSketches ~1.9 s (~1.25×), with occasional correlated multi-second",
+        "spikes hitting BOTH engines in bad VM/GC windows (ours harder — the",
+        "two-level plan materializes ~10M short-lived partial buffers; a",
+        "repartition-first raw-row variant was measured consistently SLOWER",
+        "post-Kryo, 3.4-8.1 s, so the two-level plan stands).",
     ]
     bench_md.write_text("\n".join(lines) + "\n")
 
