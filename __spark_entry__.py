@@ -829,6 +829,36 @@ def q_reagg_stored_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sibling_merge_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 stored-blob merge for the SIBLING sketches
+    (*BlobMergeAggregator classes via sketches.merge_stored): per-event-type
+    count-min/Bloom/MinHash rollups re-merged globally in-JVM must be
+    byte-identical to the pandas merge (exact merges), and a stored t-digest
+    rollup must merge to rank-accurate quantiles.  Falls back to the pandas
+    merge without the jar (parity booleans then compare python to python,
+    still a valid statement of the merge contract)."""
+    from hllspark import agg, sketches
+    from hllspark.sketches import TDigest
+
+    e = _read(spark, sf_dir, "events")
+    li = _read(spark, sf_dir, "lineitem")
+    checks = []
+    for kind, params in (("countmin", {"width": 512, "depth": 4}), ("bloom", {"m_bits": 1 << 14, "k": 5}), ("minhash", {"k": 64})):
+        stored = sketches.build(e, "user_id", kind, by=["event_type"], **params)
+        u = bytes(sketches.merge_stored(stored.select("sketch"), kind).first()["sketch"])
+        p = bytes(sketches.merge_stored(stored.select("sketch"), kind, engine="python").first()["sketch"])
+        checks.append((f"{kind}_merge_parity", bool(u == p)))
+    td_stored = sketches.build(li, "l_extendedprice", "tdigest", by=["l_returnflag"])
+    td = TDigest.from_bytes(bytes(sketches.merge_stored(td_stored.select("sketch"), "tdigest").first()["sketch"]))
+    n = li.count()
+    ok = True
+    for q in (0.1, 0.5, 0.9):
+        rank = li.filter(F.col("l_extendedprice") <= td.quantile(q)).count() / n
+        ok = ok and abs(rank - q) <= 0.02
+    checks.append(("tdigest_merge_ranks", bool(ok)))
+    return spark.createDataFrame(checks, "check_name string, ok boolean").orderBy("check_name")
+
+
 def q_hll_info_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-arg hyperloglog_info(): library defaults dump
     (hyperloglog_counter.c:994-1001)."""
@@ -894,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_udaf": q_quantiles_udaf,
         "minhash_udaf": q_minhash_udaf,
         "reagg_stored_udaf": q_reagg_stored_udaf,
+        "sibling_merge_udaf": q_sibling_merge_udaf,
     }
 
 
@@ -1090,5 +1121,10 @@ def oracle_sql() -> dict[str, str]:
         "reagg_stored_udaf": (
             "SELECT count(DISTINCT o_custkey) AS exact_cnt, TRUE AS within_bound, "
             "TRUE AS udaf_matches_python FROM orders"
+        ),
+        "sibling_merge_udaf": (
+            "SELECT * FROM (VALUES ('bloom_merge_parity', TRUE), ('countmin_merge_parity', TRUE), "
+            "('minhash_merge_parity', TRUE), ('tdigest_merge_ranks', TRUE)) AS t(check_name, ok) "
+            "ORDER BY check_name"
         ),
     }

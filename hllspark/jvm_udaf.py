@@ -393,38 +393,55 @@ def _sibling_udaf_column(
 
 
 def _cm_blob_to_bytes(buf) -> bytes | None:
-    """CountMinAggregator blob → canonical CountMin bytes (None = all-NULL)."""
+    """CountMinAggregator blob → canonical CountMin bytes (None = all-NULL).
+
+    v1 (build path): hash_kind is always xxhash, total == 0 means all-NULL.
+    v2 (stored-blob merge): hash_kind carried after the version byte;
+    width == 0 is the ONLY all-NULL marker — total == 0 with width > 0 is
+    a legitimate EMPTY stored sketch (the HLL v2 lesson)."""
     from .core.hll import HASH_XXHASH_SPARK
     from .sketches.countmin import CountMin
 
     buf = bytes(buf)
-    if buf[0] != 1:
-        raise ValueError(f"unknown countmin blob version {buf[0]}")
-    width = int.from_bytes(buf[1:5], "little", signed=True)
-    depth = int.from_bytes(buf[5:9], "little", signed=True)
-    total = int.from_bytes(buf[9:17], "little", signed=True)
-    if total == 0:
+    version = buf[0]
+    if version == 1:
+        hash_kind, off = HASH_XXHASH_SPARK, 1
+    elif version == 2:
+        hash_kind, off = buf[1], 2
+    else:
+        raise ValueError(f"unknown countmin blob version {version}")
+    width = int.from_bytes(buf[off : off + 4], "little", signed=True)
+    depth = int.from_bytes(buf[off + 4 : off + 8], "little", signed=True)
+    total = int.from_bytes(buf[off + 8 : off + 16], "little", signed=True)
+    if (version == 1 and total == 0) or (version == 2 and width == 0):
         return None
-    counts = np.frombuffer(buf, dtype="<i8", count=depth * width, offset=17)
-    st = CountMin(width, depth, counts.astype(np.uint64).reshape(depth, width), total, HASH_XXHASH_SPARK)
+    counts = np.frombuffer(buf, dtype="<i8", count=depth * width, offset=off + 16)
+    st = CountMin(width, depth, counts.astype(np.uint64).reshape(depth, width), total, hash_kind)
     return st.to_bytes()
 
 
 def _bloom_blob_to_bytes(buf) -> bytes | None:
-    """BloomAggregator blob → canonical Bloom bytes (None = all-NULL)."""
+    """BloomAggregator blob → canonical Bloom bytes (None = all-NULL).
+    v1: n_added == 0 means all-NULL; v2 (stored merge, hash_kind after the
+    version byte): m_bits == 0 is the only all-NULL marker."""
     from .core.hll import HASH_XXHASH_SPARK
     from .sketches.bloom import Bloom
 
     buf = bytes(buf)
-    if buf[0] != 1:
-        raise ValueError(f"unknown bloom blob version {buf[0]}")
-    m_bits = int.from_bytes(buf[1:9], "little", signed=True)
-    k = int.from_bytes(buf[9:13], "little", signed=True)
-    n_added = int.from_bytes(buf[13:21], "little", signed=True)
-    if n_added == 0:
+    version = buf[0]
+    if version == 1:
+        hash_kind, off = HASH_XXHASH_SPARK, 1
+    elif version == 2:
+        hash_kind, off = buf[1], 2
+    else:
+        raise ValueError(f"unknown bloom blob version {version}")
+    m_bits = int.from_bytes(buf[off : off + 8], "little", signed=True)
+    k = int.from_bytes(buf[off + 8 : off + 12], "little", signed=True)
+    n_added = int.from_bytes(buf[off + 12 : off + 20], "little", signed=True)
+    if (version == 1 and n_added == 0) or (version == 2 and m_bits == 0):
         return None
-    bits = np.frombuffer(buf, dtype=np.uint8, count=(m_bits + 7) // 8, offset=21).copy()
-    return Bloom(m_bits, k, bits, n_added, HASH_XXHASH_SPARK).to_bytes()
+    bits = np.frombuffer(buf, dtype=np.uint8, count=(m_bits + 7) // 8, offset=off + 20).copy()
+    return Bloom(m_bits, k, bits, n_added, hash_kind).to_bytes()
 
 
 def _sibling_sketch(
@@ -500,14 +517,21 @@ def _mh_blob_to_bytes(buf) -> bytes | None:
     from .sketches.minhash import MinHash
 
     buf = bytes(buf)
-    if buf[0] != 1:
-        raise ValueError(f"unknown minhash blob version {buf[0]}")
-    k = int.from_bytes(buf[1:5], "little", signed=True)
-    n = int.from_bytes(buf[5:13], "little", signed=True)
-    if n == 0:
+    version = buf[0]
+    if version == 1:
+        hash_kind, off = HASH_XXHASH_SPARK, 1
+    elif version == 2:  # stored-blob merge: hash_kind after the version byte
+        hash_kind, off = buf[1], 2
+    else:
+        raise ValueError(f"unknown minhash blob version {version}")
+    k = int.from_bytes(buf[off : off + 4], "little", signed=True)
+    n = int.from_bytes(buf[off + 4 : off + 12], "little", signed=True)
+    if (version == 1 and n == 0) or (version == 2 and k == 0):
+        # v1 build path: no values → all-NULL; v2: k == 0 is the marker
+        # (n == 0 with k > 0 is a legitimate empty stored signature)
         return None
-    sig = np.frombuffer(buf, dtype="<i8", count=k, offset=13).view(np.uint64).copy()
-    return MinHash(k, sig, n, HASH_XXHASH_SPARK).to_bytes()
+    sig = np.frombuffer(buf, dtype="<i8", count=k, offset=off + 12).view(np.uint64).copy()
+    return MinHash(k, sig, n, hash_kind).to_bytes()
 
 
 def minhash_jvm_udaf(df: DataFrame, value_col: str, by: Sequence[str] | None = None, k: int = 128) -> DataFrame:
@@ -560,8 +584,9 @@ def _td_blob_to_bytes(buf) -> bytes | None:
         return st.to_bytes()
     ncent = int.from_bytes(buf[4:8], "little", signed=True)
     total, vmin, vmax = np.frombuffer(buf, dtype="<f8", count=3, offset=8)
-    if ncent == 0 or total == 0:
-        return None
+    # mode-1 with zero centroids only arises from the stored-blob merge of
+    # EMPTY digests (the build aggregator's digest mode always holds data):
+    # a legitimate empty sketch, not SQL NULL
     means = np.frombuffer(buf, dtype="<f8", count=ncent, offset=32).astype(np.float64)
     weights = np.frombuffer(buf, dtype="<f8", count=ncent, offset=32 + 8 * ncent).astype(np.float64)
     return TDigest(delta, means, weights, float(total), float(vmin), float(vmax)).to_bytes()
@@ -593,8 +618,8 @@ def _kll_blob_to_bytes(buf) -> bytes | None:
     total = int.from_bytes(buf[8:16], "little", signed=True)
     compactions = int.from_bytes(buf[16:24], "little", signed=True)
     vmin, vmax = np.frombuffer(buf, dtype="<f8", count=2, offset=24)
-    if total == 0:
-        return None
+    # mode-1 with total == 0 only arises from the stored-blob merge of
+    # EMPTY sketches — a legitimate empty KLL, not SQL NULL
     sizes = np.frombuffer(buf, dtype="<i4", count=nlevels, offset=40)
     off = 40 + 4 * nlevels
     levels = []
@@ -717,3 +742,49 @@ def hll_merge_udaf(
     fin = _finalize_udf(finalize)
     outname = "sketch" if finalize == "sketch" else est_col
     return agged.select(*by, fin(F.col("__blob")).alias(outname))
+
+
+_MERGE_CLASSES = {
+    "countmin": ("hllsparkjvm.CountMinBlobMergeAggregator", "_cm_blob_to_bytes"),
+    "bloom": ("hllsparkjvm.BloomBlobMergeAggregator", "_bloom_blob_to_bytes"),
+    "minhash": ("hllsparkjvm.MinHashBlobMergeAggregator", "_mh_blob_to_bytes"),
+    "tdigest": ("hllsparkjvm.TDigestBlobMergeAggregator", "_td_blob_to_bytes"),
+    "kll": ("hllsparkjvm.KllBlobMergeAggregator", "_kll_blob_to_bytes"),
+}
+
+
+def sibling_merge_udaf(
+    df: DataFrame,
+    kind: str,
+    sketch_col: str = "sketch",
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Merge of STORED canonical sibling-sketch blobs as a JVM aggregate
+    buffer — hll_merge_udaf's counterpart for count-min / Bloom / MinHash /
+    t-digest / KLL rollup tables (jvm/src *BlobMergeAggregator classes).
+
+    Each aggregator is parameterless (params + hash_kind adopt from the
+    first counter; mismatches refuse to merge, replicating the python
+    ``merge`` guards).  count-min (+), Bloom (|) and MinHash (unsigned min)
+    merges are exact → byte-identical to ``agg.merge_partials(cls=...)``
+    (tested); the quantile merges carry the usual merge-order dependence
+    within their rank-error bounds (like python ``TDigest.merge`` /
+    ``KLL.merge``).  NULL blobs are skipped; a group of only NULLs yields a
+    SQL NULL sketch, while legitimate EMPTY stored sketches survive as
+    empty sketches."""
+    if kind not in _MERGE_CLASSES:
+        raise ValueError(f"unknown sketch kind {kind!r}; expected one of {tuple(_MERGE_CLASSES)}")
+    cls_name, fin_name = _MERGE_CLASSES[kind]
+    by = list(by or [])
+    spark = df.sparkSession
+    acol = _sibling_udaf_column(spark, F.col(sketch_col), cls_name, [], encoder="binary")
+    gb = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
+    agged = gb.agg(acol.alias("__blob"))
+    blob_fn = globals()[fin_name]
+
+    @pandas_udf("binary")
+    def fin(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda v: None if v is None else blob_fn(v))
+
+    out = agged.select(*by, fin(F.col("__blob")).alias("sketch"))
+    return out if sketch_col == "sketch" else out.withColumnRenamed("sketch", sketch_col)

@@ -16,3 +16,11 @@ def build(df, value_col, kind, by=None, engine="auto", **params):
     from .router import build as _build
 
     return _build(df, value_col, kind, by=by, engine=engine, **params)
+
+
+def merge_stored(df, kind, sketch_col="sketch", by=None, engine="auto"):
+    """Re-aggregate a stored sketch rollup table of any kind (see
+    sketches.router.merge_stored) — lazy import, like build()."""
+    from .router import merge_stored as _ms
+
+    return _ms(df, kind, sketch_col=sketch_col, by=by, engine=engine)

@@ -96,3 +96,47 @@ def build(
         factory = lambda: cls.create(**params, hash_kind=HASH_XXHASH_SPARK)  # noqa: E731
         return sketch_generic(df, value_col, factory, cls, by=by, jvm_prehash=True)
     raise ValueError(f"unknown engine {engine!r}; expected auto/jvm_udaf/jvm/python")
+
+
+def merge_stored(
+    df: DataFrame,
+    kind: str,
+    sketch_col: str = "sketch",
+    by: Sequence[str] | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """Re-aggregate a STORED sketch rollup table (the reference's
+    sum(counter) workflow) for any kind incl. "hll" — engine="auto" routes
+    through the JVM blob-merge aggregate buffers when the jar loads, else
+    the generic pandas merge (agg.merge_partials with the kind's class).
+    Exact-merge kinds (hll, countmin, bloom, minhash) are byte-identical
+    across engines (tested); quantile merges are order-dependent within
+    their rank bounds on either engine."""
+    kinds = ("hll",) + _KINDS
+    if kind not in kinds:
+        raise ValueError(f"unknown sketch kind {kind!r}; expected one of {kinds}")
+    auto = engine == "auto"
+    if auto:
+        from ..agg import _udaf_available
+
+        engine = "jvm_udaf" if _udaf_available(df.sparkSession) else "python"
+    if engine == "jvm_udaf":
+        from .. import jvm_udaf
+
+        try:
+            if kind == "hll":
+                return jvm_udaf.hll_merge_udaf(df, sketch_col, by)
+            return jvm_udaf.sibling_merge_udaf(df, kind, sketch_col, by)
+        except RuntimeError:
+            if not auto:
+                raise
+            engine = "python"  # version-skewed jar → pandas merge
+    if engine == "python":
+        from ..agg import merge_partials
+        from ..core.hll import HLL
+        from . import KLL, Bloom, CountMin, MinHash, TDigest
+
+        cls = {"hll": HLL, "countmin": CountMin, "bloom": Bloom,
+               "minhash": MinHash, "tdigest": TDigest, "kll": KLL}[kind]
+        return merge_partials(df, by, sketch_col=sketch_col, cls=cls, engine="python")
+    raise ValueError(f"unknown engine {engine!r}; expected auto/jvm_udaf/python")

@@ -150,6 +150,12 @@ public final class HllMergeAggregator
     if (version > STRUCT_VERSION) {
       throw new IllegalArgumentException("unsupported sketch version " + version);
     }
+    if (b < 4 || b > 18 || binbits < 4 || binbits > 8) {
+      // a reference-legacy blob (negative b = compressed flag) or corrupt
+      // bytes would otherwise mis-shift silently (Java shifts are mod 64)
+      throw new IllegalArgumentException(
+          "sketch header out of range (b=" + b + ", binbits=" + binbits + "): not a canonical hllspark counter");
+    }
     if ((flags & ~KNOWN_FLAGS) != 0) {
       throw new IllegalArgumentException(String.format(
           "sketch flags 0x%02x carry payload-encoding bits unknown to this decoder", flags));

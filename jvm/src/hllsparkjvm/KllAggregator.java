@@ -102,6 +102,12 @@ public final class KllAggregator
       levels[h][levelLen[h]++] = v;
     }
 
+    /** Package hook for KllBlobMergeAggregator: raw append at a height
+     *  (caller compacts afterwards, mirroring kll.py merge). */
+    void ingestLevelItem(int h, double v) {
+      appendLevel(h, v);
+    }
+
     void compact() {
       boolean changed = true;
       while (changed) {
