@@ -837,7 +837,7 @@ def q_sibling_merge_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup must merge to rank-accurate quantiles.  Falls back to the pandas
     merge without the jar (parity booleans then compare python to python,
     still a valid statement of the merge contract)."""
-    from hllspark import agg, sketches
+    from hllspark import sketches
     from hllspark.sketches import TDigest
 
     e = _read(spark, sf_dir, "events")

@@ -745,11 +745,11 @@ def hll_merge_udaf(
 
 
 _MERGE_CLASSES = {
-    "countmin": ("hllsparkjvm.CountMinBlobMergeAggregator", "_cm_blob_to_bytes"),
-    "bloom": ("hllsparkjvm.BloomBlobMergeAggregator", "_bloom_blob_to_bytes"),
-    "minhash": ("hllsparkjvm.MinHashBlobMergeAggregator", "_mh_blob_to_bytes"),
-    "tdigest": ("hllsparkjvm.TDigestBlobMergeAggregator", "_td_blob_to_bytes"),
-    "kll": ("hllsparkjvm.KllBlobMergeAggregator", "_kll_blob_to_bytes"),
+    "countmin": ("hllsparkjvm.CountMinBlobMergeAggregator", _cm_blob_to_bytes),
+    "bloom": ("hllsparkjvm.BloomBlobMergeAggregator", _bloom_blob_to_bytes),
+    "minhash": ("hllsparkjvm.MinHashBlobMergeAggregator", _mh_blob_to_bytes),
+    "tdigest": ("hllsparkjvm.TDigestBlobMergeAggregator", _td_blob_to_bytes),
+    "kll": ("hllsparkjvm.KllBlobMergeAggregator", _kll_blob_to_bytes),
 }
 
 
@@ -774,13 +774,12 @@ def sibling_merge_udaf(
     empty sketches."""
     if kind not in _MERGE_CLASSES:
         raise ValueError(f"unknown sketch kind {kind!r}; expected one of {tuple(_MERGE_CLASSES)}")
-    cls_name, fin_name = _MERGE_CLASSES[kind]
+    cls_name, blob_fn = _MERGE_CLASSES[kind]
     by = list(by or [])
     spark = df.sparkSession
     acol = _sibling_udaf_column(spark, F.col(sketch_col), cls_name, [], encoder="binary")
     gb = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
     agged = gb.agg(acol.alias("__blob"))
-    blob_fn = globals()[fin_name]
 
     @pandas_udf("binary")
     def fin(blobs: pd.Series) -> pd.Series:

@@ -125,7 +125,10 @@ def merge_stored(
 
         try:
             if kind == "hll":
-                return jvm_udaf.hll_merge_udaf(df, sketch_col, by)
+                out = jvm_udaf.hll_merge_udaf(df, sketch_col, by)
+                # engine-independent schema: python path names the output
+                # column sketch_col, so the udaf path must too
+                return out if sketch_col == "sketch" else out.withColumnRenamed("sketch", sketch_col)
             return jvm_udaf.sibling_merge_udaf(df, kind, sketch_col, by)
         except RuntimeError:
             if not auto:

@@ -114,6 +114,12 @@ public final class KllBlobMergeAggregator
   public Buf merge(Buf a, Buf c) {
     if (c.state == null) return a;
     if (a.state == null) return c;
+    if (a.state.k != c.state.k) {
+      // KllAggregator.merge never compares k (its buffers share the
+      // constructor's); blobs split across partitions adopt their own, so
+      // the refusal must happen HERE too, like the reduce path
+      throw new IllegalArgumentException("kll k differs");
+    }
     new KllAggregator(a.state.k, a.state.exactCap).merge(a.state, c.state);
     return a;
   }

@@ -104,6 +104,12 @@ public final class TDigestBlobMergeAggregator
   public Buf merge(Buf a, Buf c) {
     if (c.state == null) return a;
     if (a.state == null) return c;
+    if (a.state.delta != c.state.delta) {
+      // TDigestAggregator.merge never compares delta (its buffers share
+      // the constructor's); cross-partition buffers adopt their own, so
+      // the refusal must happen HERE too, like the reduce path
+      throw new IllegalArgumentException("t-digest delta differs");
+    }
     new TDigestAggregator(a.state.delta, a.state.exactCap).merge(a.state, c.state);
     return a;
   }

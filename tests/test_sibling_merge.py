@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from hllspark import agg, sketches
+from hllspark import sketches
 from hllspark.core.hash import hash_int64
 from hllspark.core.hll import HLL
 from hllspark.sketches import KLL, Bloom, CountMin, MinHash, TDigest
@@ -79,7 +79,7 @@ def test_quantile_sibling_blob_merge_rank_accuracy(udaf_spark, kind, make, cls):
     merged = cls.from_bytes(bytes(sketches.merge_stored(df, kind, engine="jvm_udaf").first()["sketch"]))
     exact = np.sort(np.concatenate(allv))
     n = len(exact)
-    assert (merged.total if kind == "tdigest" else merged.total) == pytest.approx(n)
+    assert merged.total == pytest.approx(n)
     for q in (0.1, 0.5, 0.9):
         rank = np.searchsorted(exact, merged.quantile(q)) / n
         assert abs(rank - q) < 0.02, (kind, q, rank)
@@ -104,21 +104,43 @@ def test_sibling_blob_merge_empty_not_null(udaf_spark):
         assert u == p, kind
 
 
-def test_sibling_blob_merge_mismatch_refusal(udaf_spark):
-    a = CountMin.create(width=64, depth=3)
-    b = CountMin.create(width=128, depth=3)
-    df = udaf_spark.createDataFrame(
-        [(bytearray(a.to_bytes()),), (bytearray(b.to_bytes()),)], "sketch binary"
-    ).coalesce(1)
-    with pytest.raises(Exception, match="dimensions differ"):
-        sketches.merge_stored(df, "countmin", engine="jvm_udaf").collect()
-    m1 = MinHash.create(k=16, hash_kind=0)
-    m2 = MinHash.create(k=16, hash_kind=1)
-    df2 = udaf_spark.createDataFrame(
-        [(bytearray(m1.to_bytes()),), (bytearray(m2.to_bytes()),)], "sketch binary"
-    ).coalesce(1)
-    with pytest.raises(Exception, match="[Hh]ash kind"):
-        sketches.merge_stored(df2, "minhash", engine="jvm_udaf").collect()
+def _two_partition_df(spark, blob_a, blob_b):
+    """One blob per partition — forces the refusal through the cross-
+    partition merge(Buf, Buf) path, not just the reduce path (review
+    regression: the quantile merges delegated without re-checking params)."""
+    da = spark.createDataFrame([(bytearray(blob_a),)], "sketch binary")
+    db = spark.createDataFrame([(bytearray(blob_b),)], "sketch binary")
+    return da.unionByName(db)  # union preserves the two input partitions
+
+
+@pytest.mark.parametrize("path", ["reduce", "merge"])
+def test_sibling_blob_merge_mismatch_refusal(udaf_spark, path):
+    def build(blob_a, blob_b):
+        if path == "reduce":  # both blobs hit one buffer
+            return udaf_spark.createDataFrame(
+                [(bytearray(blob_a),), (bytearray(blob_b),)], "sketch binary"
+            ).coalesce(1)
+        return _two_partition_df(udaf_spark, blob_a, blob_b)
+
+    cases = [
+        ("countmin", CountMin.create(width=64, depth=3), CountMin.create(width=128, depth=3), "dimensions differ"),
+        ("minhash", MinHash.create(k=16, hash_kind=0), MinHash.create(k=16, hash_kind=1), "[Hh]ash kind"),
+        ("tdigest", _filled(TDigest.create(delta=100)), _filled(TDigest.create(delta=500)), "delta differs"),
+        ("kll", _filled_kll(KLL.create(k=200)), _filled_kll(KLL.create(k=300)), "k differs"),
+    ]
+    for kind, a, b, msg in cases:
+        with pytest.raises(Exception, match=msg):
+            sketches.merge_stored(build(a.to_bytes(), b.to_bytes()), kind, engine="jvm_udaf").collect()
+
+
+def _filled(td):
+    td.update_values(np.arange(50, dtype=np.float64))
+    return td
+
+
+def _filled_kll(kl):
+    kl.update_values(np.arange(50, dtype=np.float64))
+    return kl
 
 
 def test_merge_stored_hll_kind_and_validation(udaf_spark):
