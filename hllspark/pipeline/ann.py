@@ -57,11 +57,16 @@ def topk_cosine(
 
     Returns, per query, a list of (id, cosine) sorted descending.  Each
     partition emits its local top-k folded across Arrow batches (mapInArrow
-    GEMM); the driver merge is bounded by ≤ P×k×Q candidate rows — tiny
-    versus the scan (asserted in tests/test_ann.py).
+    GEMM) — ≤ P×k×Q candidate rows total — then a Spark-side per-query fold
+    (groupBy(q) + applyInPandas top-k) bounds what the DRIVER collects to
+    ≤ k×Q rows regardless of partition count (round-4 verdict: at crawl
+    scale P ~10⁵–10⁶ made the old P×k×Q driver merge up to 10⁹ rows).  The
+    fold shuffle itself moves only the P×k×Q candidates — negligible next to
+    the scan.
 
-    ``_candidates_out``: test hook — when a list is passed, the candidate
-    DataFrame is appended so the P×k×Q bound can be counted externally.
+    ``_candidates_out``: test hook — when a list is passed, the per-partition
+    candidate DataFrame and the folded DataFrame are appended so the P×k×Q
+    and k×Q bounds can be counted externally.
     """
     q = _normalize(np.asarray(queries, dtype=np.float32))
     nq, dim = q.shape
@@ -102,9 +107,17 @@ def topk_cosine(
             )
 
     cand_df = df.select(id_col, vec_col).mapInArrow(scan, schema="q int, id long, sim float")
+
+    def fold_top(pdf):
+        # tie-break parity with heapq.nlargest over (sim, id) tuples:
+        # descending lexicographic (sim, id)
+        return pdf.sort_values(["sim", "id"], ascending=False).head(k)
+
+    folded = cand_df.groupBy("q").applyInPandas(fold_top, schema="q int, id long, sim float")
     if _candidates_out is not None:
         _candidates_out.append(cand_df)
-    cand = cand_df.collect()
+        _candidates_out.append(folded)
+    cand = folded.collect()
     results: list[list[tuple]] = [[] for _ in range(nq)]
     for r in cand:
         results[r["q"]].append((r["sim"], r["id"]))
@@ -153,20 +166,81 @@ def cosine_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 1000,
+    mode: str = "connected",
+    exhaustive_budget: int = 50_000_000,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets generate the candidates
     (a high-cosine pair agrees on a sign bit w.p. 1−θ/π, so it lands in the
     same bucket w.p. (1−θ/π)^h), then the same JVM-side cosine verification.
-    Recall < 1 by construction — tune (h, and/or multiple seeds unioned)
-    against the brute-force baseline (tests/test_ann.py)."""
-    indexed = lsh_index(df, dim, h=h, seed=seed, id_col=id_col, vec_col=vec_col)
-    a = indexed.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "bucket")
-    b = indexed.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "bucket")
-    j = a.join(b, ["bucket"]).filter(F.col("a") < F.col("b"))
+    Recall < 1 by construction — tune h and/or ``n_tables`` (independent
+    hyperplane sets, seeds seed..seed+n_tables−1, candidates unioned)
+    against the brute-force baseline (tests/test_ann.py).
+
+    Buckets above ``max_bucket`` members (2^h is finite — with N ≫ 2^h·max
+    every bucket is "hot", and crawl embeddings cluster regardless of N) are
+    NOT self-joined quadratically: they route through the same
+    dedup._split_oversized machinery as the MinHash/SimHash paths —
+    ``mode="connected"`` (default) salt-splits them into bounded sub-buckets
+    with connectivity chain edges (right for dedup-by-components; the pair
+    list inside an oversized bucket is then a connected subset, not
+    exhaustive), ``mode="exhaustive"`` enumerates the complete pair set
+    through a memory-bounded per-bucket join up to ``exhaustive_budget``
+    pairs per bucket (beyond that: connected fallback).  Use
+    cosine_lsh_bucket_stats to monitor how many buckets were split."""
+    from .dedup import _pairs_from_lists, _split_oversized
+
+    cand = None
+    for t in range(n_tables):
+        indexed = lsh_index(df, dim, h=h, seed=seed + t, id_col=id_col, vec_col=vec_col)
+        buckets = (
+            indexed.groupBy("bucket")
+            .agg(F.collect_list(id_col).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        small = _pairs_from_lists(buckets.filter(F.size("ids") <= max_bucket))
+        big = _split_oversized(
+            buckets.filter(F.size("ids") > max_bucket), ["bucket"], max_bucket,
+            mode=mode, exhaustive_budget=exhaustive_budget,
+        )
+        table = small.unionByName(big)
+        cand = table if cand is None else cand.unionByName(table)
+    cand = cand.distinct()
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    j = cand.join(va, "a").join(vb, "b")
     return (
         j.filter(_cosine_expr(F.col("__va"), F.col("__vb")) >= threshold)
         .select("a", "b")
         .distinct()
+    )
+
+
+def cosine_lsh_bucket_stats(
+    df: DataFrame,
+    dim: int,
+    h: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Monitoring companion to cosine_pairs_lsh (mirrors dedup.lsh_bucket_stats):
+    one row of bucket-size metrics including how many buckets exceed
+    ``max_bucket`` (those are salt-split, so their pair lists are connected
+    subsets unless mode=\"exhaustive\").  Run this before committing to an
+    (h, max_bucket) choice at a new data scale."""
+    sizes = (
+        lsh_index(df, dim, h=h, seed=seed, id_col=id_col, vec_col=vec_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_candidate_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("n_oversized_split"),
+        F.max("n").alias("max_bucket_size"),
     )
 
 
@@ -247,20 +321,48 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Lloyd k-means on a driver-side sample → (nlist, dim) float32 centroids.
 
-    The sample is UNBIASED: Bernoulli row sampling across all partitions
-    (``df.sample``), trimmed to ``sample`` rows with a seeded numpy choice.
+    The sample is UNBIASED and SINGLE-PASS: a bottom-k-by-random-key
+    reservoir — each partition folds the ``sample`` rows with the smallest
+    seeded-uniform keys across its Arrow batches (mapInArrow), the driver
+    keeps the global ``sample`` smallest.  A uniform sample without
+    replacement in ONE scan (the round-4 ``count()`` + ``df.sample`` needed
+    two), with ≤ P×sample driver rows — fine for one-off index training.
     A ``limit(sample)`` would read only the first partitions — at crawl
     scale those are correlated (by crawl time / shard), skewing centroids."""
     rng = np.random.RandomState(seed)
-    n = df.count()
-    if n <= sample:
-        rows = df.select(vec_col).collect()
-    else:
-        frac = min(1.0, 1.5 * sample / n)
-        rows = df.select(vec_col).sample(withReplacement=False, fraction=frac, seed=seed).collect()
-    m = _normalize(np.array([r[0] for r in rows], dtype=np.float32))
+
+    def reservoir(batches) -> Iterator:
+        import pyarrow as pa
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        prng = np.random.RandomState((seed * 1_000_003 + (tc.partitionId() if tc else 0)) % (2**32))
+        best_keys = np.empty(0, np.float64)
+        best_vecs = np.empty((0, dim), np.float32)
+        for batch in batches:
+            m = _matrix(batch.column(batch.schema.get_field_index(vec_col)), dim)
+            keys = prng.uniform(size=len(m))
+            pool_k = np.concatenate([best_keys, keys])
+            pool_v = np.concatenate([best_vecs, m])
+            keep = min(sample, len(pool_k))
+            sel = np.argpartition(pool_k, keep - 1)[:keep] if keep < len(pool_k) else np.arange(len(pool_k))
+            best_keys, best_vecs = pool_k[sel], pool_v[sel]
+        if len(best_keys):
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(best_keys),
+                    pa.FixedSizeListArray.from_arrays(pa.array(best_vecs.ravel()), dim).cast(pa.list_(pa.float32())),
+                ],
+                names=["key", "vec"],
+            )
+
+    rows = df.select(vec_col).mapInArrow(reservoir, schema="key double, vec array<float>").collect()
+    m = np.array([r["vec"] for r in rows], dtype=np.float32)
     if len(m) > sample:
-        m = m[rng.choice(len(m), size=sample, replace=False)]
+        keys = np.array([r["key"] for r in rows])
+        m = m[np.argpartition(keys, sample - 1)[:sample]]
+    m = _normalize(m)
     cent = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)].copy()
     for _ in range(iters):
         assign = (m @ cent.T).argmax(axis=1)

@@ -99,6 +99,81 @@ def test_cosine_pairs_exact_and_lsh_recall(spark):
     assert recall >= 0.8, recall
 
 
+def test_cosine_pairs_lsh_mega_bucket_guard(spark):
+    """Round-5 fix: a mega-bucket (every vector nearly identical → one LSH
+    bucket) no longer self-joins quadratically.  connected mode keeps the
+    planted cluster connected at bounded cost; exhaustive mode recovers the
+    complete pair set within budget; bucket stats report the split."""
+    rng = np.random.RandomState(7)
+    center = rng.normal(size=DIM).astype(np.float32)
+    n = 120
+    vecs = center[None, :] + rng.normal(scale=0.01, size=(n, DIM)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # all n vectors share one bucket at h=4; max_bucket=20 forces the split
+    stats = ann.cosine_lsh_bucket_stats(df, DIM, h=4, max_bucket=20).collect()[0]
+    assert stats["max_bucket_size"] == n
+    assert stats["n_oversized_split"] >= 1
+
+    # exhaustive mode: complete pair set — every pair is a near-dup here
+    ex = ann.cosine_pairs_lsh(df, threshold=0.99, dim=DIM, h=4, max_bucket=20, mode="exhaustive")
+    assert ex.count() == n * (n - 1) // 2
+
+    # connected mode: bounded subset, but the cluster stays one component
+    con = [(r["a"], r["b"]) for r in ann.cosine_pairs_lsh(df, threshold=0.99, dim=DIM, h=4, max_bucket=20).collect()]
+    assert 0 < len(con) < n * (n - 1) // 2
+    parent = list(range(2000))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in con:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n)}) == 1
+
+    # exhaustive budget exceeded → falls back to connected treatment (subset)
+    budget = ann.cosine_pairs_lsh(
+        df, threshold=0.99, dim=DIM, h=4, max_bucket=20, mode="exhaustive", exhaustive_budget=100
+    )
+    assert budget.count() < n * (n - 1) // 2
+
+
+def test_cosine_pairs_lsh_multi_table_recall(spark):
+    """n_tables unions candidates from independent hyperplane sets: recall is
+    monotone non-decreasing and strictly better on a seed where one table
+    misses planted pairs."""
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(40, DIM)).astype(np.float32)
+    near = base + rng.normal(scale=0.15, size=base.shape).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(40)] + [(1000 + i, near[i].tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planted = {(i, 1000 + i) for i in range(40)}
+    one = {(r["a"], r["b"]) for r in ann.cosine_pairs_lsh(df, threshold=0.9, dim=DIM, h=10).collect()}
+    four = {(r["a"], r["b"]) for r in ann.cosine_pairs_lsh(df, threshold=0.9, dim=DIM, h=10, n_tables=4).collect()}
+    assert one <= four
+    assert len(four & planted) > len(one & planted)
+    assert len(four & planted) / len(planted) >= 0.9
+
+
+def test_topk_driver_rows_independent_of_partitions(spark, emb, ground):
+    """Round-5 fix: the Spark-side per-query fold bounds what the driver
+    collects to ≤ k×Q rows regardless of partition count."""
+    ids, m, mn = ground
+    queries = m[:4]
+    K, Q = 7, len(queries)
+    for P in (3, 24):
+        out: list = []
+        got = ann.topk_cosine(emb.repartition(P), queries, k=K, _candidates_out=out)
+        assert out[0].count() <= P * K * Q
+        assert out[1].count() <= K * Q  # driver-collected rows: partition-independent
+        for qi in range(Q):
+            assert [i for i, _ in got[qi]] == exact_topk(mn, ids, m[qi], K)
+
+
 def test_brute_force_candidates_bounded_per_partition(spark, emb, ground):
     """Round-4 fix: the per-partition scan folds its running top-k across
     Arrow batches, so the driver merge sees ≤ P×k×Q candidate rows even when
