@@ -880,6 +880,32 @@ def q_hll_info_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_estimate_compare_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: dedicated estimate-comparison operators > < >= <=
+    (sql/postgres.sql:178-192,297-330; greenplum.sql:226-285 NUMERIC
+    overloads) — all three operand shapes (counter↔counter, counter↔number,
+    number↔counter).  The compared cardinalities differ 10×, far outside the
+    HLL error bound, so every boolean is stable and the DuckDB oracle can
+    derive the same truth values from exact counts."""
+    from hllspark.functions import register_sql
+
+    register_sql(spark)
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("li_cmp")
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT hll_sketch_agg(CASE WHEN l_orderkey % 4 != 0 THEN l_orderkey END) AS big,
+                 hll_sketch_agg(CASE WHEN l_orderkey % 40 = 0 THEN l_orderkey END) AS small
+          FROM li_cmp
+        )
+        SELECT hll_gt(big, small) AS gt_cc, hll_lt(big, small) AS lt_cc,
+               hll_ge(big, big)  AS ge_self, hll_le(big, big) AS le_self,
+               hll_gt(big, 1.0)  AS gt_cn, hll_lt(1.0, big)  AS lt_nc
+        FROM s
+        """
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: grouped approximate distinct on sf0.001 lineitem."""
     return q_distinct_custkey_by_priority(spark, "/root/testdata/sf0.001")
@@ -925,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_udaf": q_minhash_udaf,
         "reagg_stored_udaf": q_reagg_stored_udaf,
         "sibling_merge_udaf": q_sibling_merge_udaf,
+        "estimate_compare_ops": q_estimate_compare_ops,
     }
 
 
@@ -1126,5 +1153,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES ('bloom_merge_parity', TRUE), ('countmin_merge_parity', TRUE), "
             "('minhash_merge_parity', TRUE), ('tdigest_merge_ranks', TRUE)) AS t(check_name, ok) "
             "ORDER BY check_name"
+        ),
+        # the same truth values from EXACT counts: the compared cardinalities
+        # differ 10× (vs the 0.81% HLL bound), so estimate comparisons and
+        # exact comparisons must agree
+        "estimate_compare_ops": (
+            "WITH c AS (SELECT "
+            "count(DISTINCT CASE WHEN l_orderkey % 4 != 0 THEN l_orderkey END) AS big, "
+            "count(DISTINCT CASE WHEN l_orderkey % 40 = 0 THEN l_orderkey END) AS small "
+            "FROM lineitem) "
+            "SELECT big > small AS gt_cc, big < small AS lt_cc, "
+            "TRUE AS ge_self, TRUE AS le_self, "
+            "big > 1.0 AS gt_cn, 1.0 < big AS lt_nc FROM c"
         ),
     }

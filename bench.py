@@ -316,6 +316,37 @@ def main():
         for name, fn in qs.items():
             timings[name] = min(timings[name], timed(fn))
     timings = {k: round(v, 3) for k, v in timings.items()}
+
+    # ---- alternating-rep MEDIAN pairs (round-4 verdict items #2/#6) ----
+    # The best-of-2 interleave above still lets one good window flatter a
+    # query; for the two ours-vs-DataSketches ratios the verdict wants
+    # pinned, alternate the pair back-to-back N times in THIS window and
+    # report medians — the ratio statistic least sensitive to this VM's
+    # minute-scale swings (and correlated GC spikes hit both sides of an
+    # alternating pair equally).
+    import statistics
+
+    def _alt_median_pair(ours_fn, theirs_fn, reps: int = 5) -> dict:
+        ours, theirs = [], []
+        for _ in range(reps):
+            ours.append(timed(ours_fn))
+            theirs.append(timed(theirs_fn))
+        om, tm = statistics.median(ours), statistics.median(theirs)
+        return {
+            "ours_median_s": round(om, 3),
+            "comparator_median_s": round(tm, 3),
+            "ratio": round(om / tm, 3),
+            "reps": reps,
+        }
+
+    median_pairs = {
+        "global_distinct_vs_datasketches": _alt_median_pair(
+            qs["pages_distinct_url"], qs["comparator_datasketches_hll"]
+        ),
+        "highcard_100k_vs_datasketches": _alt_median_pair(
+            qs["highcard_grouped_100k_udaf"], qs["highcard_grouped_100k_datasketches"]
+        ),
+    }
     spark.stop()
 
     # ---- two-parallelism scaling (N vs 4N cores, same input) ----
@@ -371,6 +402,7 @@ def main():
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "median_pairs": median_pairs,
         "sf": float(SF) if SF.replace(".", "").isdigit() else SF,
         "pages_rows": pages_rows,
         "scale_rows": scale_rows,
@@ -447,6 +479,16 @@ def main():
         "",
     ]
     lines += [f"- {k}: {v}s" for k, v in timings.items()]
+    lines += [
+        "",
+        "Alternating-rep median pairs (same window, 5 alternations each — the",
+        "ratio statistic least sensitive to this VM's minute-scale swings):",
+        "",
+    ] + [
+        f"- {k}: ours {v['ours_median_s']}s vs comparator {v['comparator_median_s']}s "
+        f"→ ratio {v['ratio']}×"
+        for k, v in median_pairs.items()
+    ]
     lines += [
         "",
         "Repeat-run variance (context for the single-window numbers above): this VM's",

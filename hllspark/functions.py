@@ -30,6 +30,7 @@ scale path is the explicit two-phase pipeline in hllspark.agg.
 from __future__ import annotations
 
 import json
+import operator as _operator
 
 import numpy as np
 import pandas as pd
@@ -163,6 +164,39 @@ def hll_equal(a: pd.Series, b: pd.Series) -> pd.Series:
 @pandas_udf(IntegerType())
 def hll_length(sketch: pd.Series) -> pd.Series:
     return sketch.map(lambda v: None if v is None else len(v)).astype("Int32")
+
+
+def _cmp_operand(v) -> float | None:
+    """Either side of an estimate comparison may be a counter (binary sketch)
+    or a plain number — the reference's operator overloads > < >= <= for
+    (counter,counter), (counter,NUMERIC) and (NUMERIC,counter)
+    (sql/postgres.sql:178-192,297-330; greenplum.sql:226-285,520-635).
+    pandas UDFs see untyped values, so one function covers all three shapes."""
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return HLL.from_bytes(bytes(v)).estimate()
+    return float(v)
+
+
+def _make_estimate_cmp(op):
+    @pandas_udf(BooleanType())
+    def _cmp(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            ex, ey = _cmp_operand(x), _cmp_operand(y)
+            # SQL comparison semantics: NULL operand → NULL result (the
+            # reference's operators are plain SQL over possibly-NULL estimates)
+            out.append(None if ex is None or ey is None else op(ex, ey))
+        return pd.Series(out, dtype="boolean")
+
+    return _cmp
+
+
+hll_gt = _make_estimate_cmp(_operator.gt)
+hll_lt = _make_estimate_cmp(_operator.lt)
+hll_ge = _make_estimate_cmp(_operator.ge)
+hll_le = _make_estimate_cmp(_operator.le)
 
 
 @pandas_udf(BinaryType())
@@ -423,6 +457,11 @@ def register_sql(spark, b: int = DEFAULT_B, binbits: int = DEFAULT_BINBITS) -> N
     spark.udf.register("hll_compliment", hll_compliment)
     spark.udf.register("hll_symmetric_diff", hll_symmetric_diff)
     spark.udf.register("hll_equal", hll_equal)
+    # estimate-comparison operators > < >= <= (each side: counter OR number)
+    spark.udf.register("hll_gt", hll_gt)
+    spark.udf.register("hll_lt", hll_lt)
+    spark.udf.register("hll_ge", hll_ge)
+    spark.udf.register("hll_le", hll_le)
     spark.udf.register("hll_length", hll_length)
     spark.udf.register("hll_comp", hll_comp)
     spark.udf.register("hll_decomp", hll_decomp)

@@ -127,6 +127,25 @@ def _reflect_new(spark: SparkSession, loader, cls_name: str, args: list):
     return ctor.newInstance(jargs)
 
 
+def _java_illegal_arg(exc) -> str | None:
+    """If a py4j error wraps a java.lang.IllegalArgumentException (directly,
+    or under the reflection path's InvocationTargetException), return its
+    message; else None.  Lets _new_jvm_obj tell a PARAMETER error (the Java
+    ctor guards, e.g. CountMinAggregator's depth*width overflow check) apart
+    from a class-resolution failure (jar absent / version skew)."""
+    try:
+        je = getattr(exc, "java_exception", None)
+        for _ in range(5):  # unwrap InvocationTargetException / cause chains
+            if je is None:
+                return None
+            if je.getClass().getName() == "java.lang.IllegalArgumentException":
+                return je.getMessage()
+            je = je.getCause()
+    except Exception:
+        pass
+    return None
+
+
 def _new_jvm_obj(spark: SparkSession, cls_name: str, args: list):
     """Instantiate any class from the udaf jar via the cached working path.
 
@@ -135,6 +154,12 @@ def _new_jvm_obj(spark: SparkSession, cls_name: str, args: list):
     cluster-deployed pre-round-3 jar has the HLL aggregator but not the
     CountMin/Bloom siblings) — callers surface their own helpful error or
     fall back, never a raw py4j 'JavaPackage not callable' crash.
+
+    A constructor that DID resolve but rejected its arguments
+    (IllegalArgumentException — the in-JVM parameter guards) re-raises as
+    ValueError instead: a user's bad parameter must surface as the clear
+    driver-side error the Java guard wrote, not be masked as 'jar not
+    loadable' or silently rerouted to a fallback engine (round-4 ADVICE).
 
     A session where nothing resolves is NOT negatively cached: the probe
     retries on the next call, so dropping a jar in (or installing a JDK)
@@ -159,7 +184,10 @@ def _new_jvm_obj(spark: SparkSession, cls_name: str, args: list):
             obj.toString()  # a missing class resolves to a py4j package stub
             return obj
         return _reflect_new(spark, loader, cls_name, args)
-    except Exception:
+    except Exception as exc:
+        msg = _java_illegal_arg(exc)
+        if msg is not None:
+            raise ValueError(f"{cls_name.rsplit('.', 1)[-1]}: {msg}") from None
         return None
 
 
@@ -664,6 +692,8 @@ def tdigest_jvm_udaf(
     from .sketches.tdigest import TDigest
 
     TDigest.create(delta=delta)  # same validation as every sibling builder
+    if exact_capacity < 16:  # mirror the TDigestAggregator.java ctor guard
+        raise ValueError("exact_capacity must be >= 16")
     return _sibling_sketch(
         df, value_col, by,
         "hllsparkjvm.TDigestAggregator", [delta, exact_capacity],
@@ -689,6 +719,8 @@ def kll_jvm_udaf(
     from .sketches.kll import KLL
 
     KLL.create(k=k)  # same validation as every sibling builder
+    if exact_capacity < 16:  # mirror the KllAggregator.java ctor guard
+        raise ValueError("exact_capacity must be >= 16")
     return _sibling_sketch(
         df, value_col, by,
         "hllsparkjvm.KllAggregator", [k, exact_capacity],

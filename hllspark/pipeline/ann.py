@@ -254,6 +254,19 @@ def _hyperplanes(dim: int, h: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(dim, h)).astype(np.float32)
 
 
+def recommended_h(n_rows: int, target_bucket: int = 1000) -> int:
+    """Hyperplane count so the MEAN bucket occupancy n/2^h ≈ target_bucket —
+    h must scale with N (fixed h=8 gives only 256 buckets; at crawl scale
+    every one is oversized).  This sizes the mean; clustered data still
+    produces hot buckets, which is what cosine_pairs_lsh's max_bucket
+    salt-split guard is for — use both.  Recall per pair drops as
+    (1−θ/π)^h, so compensate a larger h with n_tables (independent
+    hyperplane sets; miss probability decays exponentially in tables)."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(1.0, n_rows / max(1, target_bucket)))))
+
+
 def lsh_index(
     df: DataFrame,
     dim: int,

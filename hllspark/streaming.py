@@ -19,7 +19,9 @@ time (SURVEY.md §1.4), which maps to two Spark streaming patterns:
 
 - ``running_distinct`` (applyInPandasWithState): per-key running distinct
   estimates emitted every micro-batch, state = the serialized sketch itself
-  (bounded: ≤16 KiB per key at b=14 regardless of stream length).
+  (bounded: ≤16 KiB per key at b=14 regardless of stream length).  Optional
+  ``ttl_ms`` evicts idle keys (ProcessingTimeTimeout) so the state TABLE is
+  bounded too over unbounded key domains.
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -177,19 +180,44 @@ def running_distinct(
     b: int = DEFAULT_B,
     binbits: int = DEFAULT_BINBITS,
     input_type: str = "auto",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Per-key running approximate-distinct over a stream: state is the
-    sketch bytes, output (key..., est, rows_seen) refreshed per micro-batch."""
+    sketch bytes, output (key..., est, rows_seen) refreshed per micro-batch.
+
+    ``ttl_ms`` (round-4 verdict item #3): without it the state store grows
+    forever over an unbounded key domain (urls/users never expire under
+    ``NoTimeout``).  With ``ttl_ms`` set, a key idle for that many ms of
+    processing time is EVICTED at the next micro-batch: its final estimate
+    is emitted once more with ``expired=true`` (the extra boolean column
+    exists only in TTL mode, so the default output schema is unchanged) and
+    its state is removed — a later arrival of the same key starts a fresh
+    sketch.  Use the durable SketchStream delta/compact path when evicted
+    keys must remain mergeable."""
     by = list(by or [])
+    extra = [] if ttl_ms is None else [StructField("expired", BooleanType(), False)]
     out_schema = StructType(
         [StructField(c, stream_df.schema[c].dataType, True) for c in by]
         + [StructField("est", DoubleType(), True), StructField("rows_seen", LongType(), True)]
+        + extra
     )
     state_schema = StructType(
         [StructField("sketch", BinaryType(), True), StructField("rows_seen", LongType(), True)]
     )
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle-key eviction: emit the final estimate, drop the state
+            if state.exists:
+                blob, rows_seen = state.get
+                h = HLL.from_bytes(bytes(blob))
+                state.remove()
+                yield pd.DataFrame(
+                    [{**dict(zip(by, key)), "est": h.estimate(), "rows_seen": rows_seen, "expired": True}]
+                )
+            else:
+                state.remove()
+            return
         if state.exists:
             blob, rows_seen = state.get
             h = HLL.from_bytes(bytes(blob))
@@ -199,8 +227,14 @@ def running_distinct(
             rows_seen += len(pdf)
             h.merge(build_sketch(pdf[value_col], b=b, binbits=binbits, input_type=input_type))
         state.update((h.to_bytes(), rows_seen))
-        yield pd.DataFrame([{**dict(zip(by, key)), "est": h.estimate(), "rows_seen": rows_seen}])
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        row = {**dict(zip(by, key)), "est": h.estimate(), "rows_seen": rows_seen}
+        if ttl_ms is not None:
+            row["expired"] = False
+        yield pd.DataFrame([row])
 
+    timeout = GroupStateTimeout.NoTimeout if ttl_ms is None else GroupStateTimeout.ProcessingTimeTimeout
     return stream_df.groupBy(*by).applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, "update", timeout
     )

@@ -78,7 +78,12 @@ public final class HllRegisterAggregator
       this.b = b;
       this.binbits = binbits;
       this.cap = sparseCapacity(b);
-      this.table = new int[64];
+      // start tiny: at high group-key cardinality a partial buffer holds
+      // only a handful of entries (e.g. ~3 rows/key/partition on the 100k-key
+      // bench), and the plan materializes one buffer per (partition, key) —
+      // ~10M int[64] tables were ~2.5 GB of garbage per query (round-4
+      // verdict item #6).  Growth doubles, so big groups amortize the same.
+      this.table = new int[8];
     }
 
     private static int smear(int x) {
@@ -195,7 +200,7 @@ public final class HllRegisterAggregator
         n = 0;
       } else {
         int count = in.readVarInt(true);
-        int size = 64;
+        int size = 8;
         while (size * 3 < (count + 1) * 4) size *= 2;
         table = new int[size];
         n = 0;

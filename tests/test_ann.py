@@ -192,3 +192,15 @@ def test_brute_force_candidates_bounded_per_partition(spark, emb, ground):
             assert [i for i, _ in got[qi]] == exact_topk(mn, ids, m[qi], K)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prior)
+
+
+def test_recommended_h_scales_with_n():
+    """h must grow with N so mean bucket occupancy stays ≈ target."""
+    assert ann.recommended_h(1000, 1000) == 1
+    assert ann.recommended_h(2000, 1000) == 1
+    assert ann.recommended_h(256_000, 1000) == 8
+    assert ann.recommended_h(10**12, 1000) == 30
+    # mean occupancy property: n / 2^h <= target (h rounds UP)
+    for n in (10**4, 10**6, 10**9):
+        h = ann.recommended_h(n, 500)
+        assert n / (1 << h) <= 500

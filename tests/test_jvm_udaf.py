@@ -511,3 +511,64 @@ def test_hll_merge_udaf_empty_counter_not_null(udaf_spark):
     # estimate finalize agrees (fast path v2 n=0 → 0.0, not NULL)
     r = ju.hll_merge_udaf(df, "sketch", ["g"], finalize="estimate").first()
     assert r["est"] == 0.0
+
+
+def test_ctor_param_errors_surface_not_masked(udaf_spark):
+    """Round-4 ADVICE: a Java ctor guard (IllegalArgumentException) must
+    reach the user as a clear ValueError, not be masked as 'jar not
+    loadable' or silently rerouted to a fallback engine; a genuinely missing
+    class still resolves to None (version-skew fallback path)."""
+    df = udaf_spark.createDataFrame([(1, 1.0)], "g int, v double")
+    # Python-side mirrors of the Java exactCap guards fire before any JVM call
+    with pytest.raises(ValueError, match="exact_capacity"):
+        ju.tdigest_jvm_udaf(df, "v", exact_capacity=4)
+    with pytest.raises(ValueError, match="exact_capacity"):
+        ju.kll_jvm_udaf(df, "v", exact_capacity=4)
+    # the in-JVM CountMin depth*width overflow guard re-raises as ValueError
+    with pytest.raises(ValueError, match="flat JVM buffer limit"):
+        ju._new_jvm_obj(udaf_spark, "hllsparkjvm.CountMinAggregator", [1 << 26, 33])
+    # class-resolution failure (version skew) still returns None, not raise
+    assert ju._new_jvm_obj(udaf_spark, "hllsparkjvm.NoSuchAggregator", []) is None
+
+
+def test_b18_memory_envelope_grouped(udaf_spark):
+    """Round-5 (verdict item #9): record the b=18 operator envelope.  At
+    b=18 a dense buffer is 2^18 = 256 KiB of registers, so the in-memory
+    ObjectHashAggregate key budget is fallbackThreshold × 256 KiB — the
+    131072-key default recommendation would be a 32 GiB worst case.  This
+    test pins that (a) grouped b=18 runs through ObjectHashAggregate, (b) a
+    tiny sortBased.fallbackThreshold (sort-based aggregation fallback, the
+    path a memory-safe large-b config takes) yields BYTE-IDENTICAL sketches,
+    and (c) estimates honor the 1.04/sqrt(2^18) bound.  Sizing guidance
+    lives in README.md (cap threshold × 2^b bytes per task)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    n_keys, per_key = 8, 20_000  # > sparse_capacity(18)=16380 → dense merges
+    df = udaf_spark.range(n_keys * per_key).select(
+        (F.col("id") % n_keys).alias("g"), F.col("id").alias("v")
+    )
+    out = ju.sketch_jvm_udaf(df, "v", ["g"], b=18, binbits=6)
+    assert "ObjectHashAggregate" in out._jdf.queryExecution().executedPlan().toString()
+    ref = _by_key(out, ["g"])
+    assert all(v is not None for v in ref.values())
+
+    prior = udaf_spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", None)
+    udaf_spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+    try:
+        fb = _by_key(ju.sketch_jvm_udaf(df, "v", ["g"], b=18, binbits=6), ["g"])
+    finally:
+        if prior is None:
+            udaf_spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+        else:
+            udaf_spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", prior)
+    assert fb == ref  # sort-based fallback: byte-identical state
+
+    bound = 3 * 1.04 / math.sqrt(2**18)
+    ests = {
+        r["g"]: r["est"]
+        for r in ju.sketch_jvm_udaf(df, "v", ["g"], b=18, binbits=6, finalize="estimate").collect()
+    }
+    for g, est in ests.items():
+        assert abs(est - per_key) / per_key < bound

@@ -105,3 +105,33 @@ def test_sql_kll_and_minhash(spark):
     assert 0.0 <= row["j"] <= 1.0
     exact_med = spark.sql("SELECT percentile(l_quantity, 0.5) FROM li_sql").first()[0]
     assert abs(row["med"] - exact_med) <= 2
+
+
+def test_estimate_comparison_operators(spark):
+    """Round-5: dedicated > < >= <= operators (postgres.sql:178-192,297-330;
+    greenplum.sql:226-285 NUMERIC overloads) — every result must equal the
+    hll_estimate(...) composition, for all three operand shapes and NULL."""
+    row = spark.sql(
+        """
+        WITH s AS (
+          SELECT hll_sketch_agg(CASE WHEN l_orderkey % 4 != 0 THEN l_orderkey END) AS big,
+                 hll_sketch_agg(CASE WHEN l_orderkey % 40 = 0 THEN l_orderkey END) AS small,
+                 hll_sketch_agg(CAST(NULL AS BIGINT)) AS nul
+          FROM li_sql
+        )
+        SELECT hll_gt(big, small) AS gt_cc, hll_lt(big, small) AS lt_cc,
+               hll_ge(big, big)  AS ge_self, hll_le(big, big) AS le_self,
+               hll_gt(big, 1.0)  AS gt_cn, hll_lt(1.0, big)  AS lt_nc,
+               hll_ge(big, hll_estimate(big)) AS ge_cn_exact,
+               hll_le(hll_estimate(big), big) AS le_nc_exact,
+               hll_gt(nul, small) AS gt_null,
+               (hll_estimate(big) > hll_estimate(small)) AS gt_composed
+        FROM s
+        """
+    ).first()
+    assert row["gt_cc"] is True and row["gt_cc"] == row["gt_composed"]
+    assert row["lt_cc"] is False
+    assert row["ge_self"] is True and row["le_self"] is True
+    assert row["gt_cn"] is True and row["lt_nc"] is True
+    assert row["ge_cn_exact"] is True and row["le_nc_exact"] is True
+    assert row["gt_null"] is None  # NULL counter → NULL comparison (SQL semantics)

@@ -86,6 +86,54 @@ def test_running_distinct_stateful(spark, staged_events, tmp_path):
         assert abs(r["est"] - exact[k]) / exact[k] < BOUND
 
 
+def test_running_distinct_ttl_evicts_idle_keys(spark, tmp_path):
+    """Round-5 fix: with ttl_ms set, a key idle past the TTL is evicted at
+    the next micro-batch — its final estimate is emitted with expired=true,
+    its state is removed, and a later arrival starts a fresh sketch (so the
+    state table stays bounded over an unbounded key domain)."""
+    import time
+
+    src = str(tmp_path / "ttl_src")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    sunk: list = []  # foreachBatch sink: memory sink can't restart from ckpt
+
+    def run_batch(rows):
+        mark = len(sunk)
+        spark.createDataFrame(rows, "k string, v long").write.mode("append").parquet(src)
+        stream = spark.readStream.schema("k string, v long").parquet(src)
+        out = running_distinct(stream, "v", by=["k"], ttl_ms=1000)
+        q = (
+            out.writeStream.foreachBatch(lambda bdf, bid: sunk.extend(bdf.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sunk[mark:]  # only THIS run's emissions
+
+    r1 = run_batch([("a", 1), ("a", 2), ("a", 3)])
+    time.sleep(2.5)  # key "a" idles past the 1s TTL
+    r2 = run_batch([("b", 10)])
+    # "a" expires exactly ONCE — in run 1's trailing micro-batch or in run 2
+    # (micro-batches here take >1s, so trailing-batch expiry is legitimate);
+    # the eviction row carries the final estimate and rows_seen
+    expired = [r for r in r1 + r2 if r["k"] == "a" and r["expired"]]
+    assert len(expired) == 1
+    assert expired[0]["rows_seen"] == 3
+    # "b" was updated live in run 2 (it may ALSO expire in a trailing batch)
+    assert any(not r["expired"] for r in r2 if r["k"] == "b")
+
+    time.sleep(2.5)
+    rows = run_batch([("a", 99)])  # "a" returns after eviction: fresh state
+    fresh = [r for r in rows if r["k"] == "a" and not r["expired"]]
+    assert fresh and max(r["rows_seen"] for r in fresh) == 1
+
+    # default (no ttl) schema is unchanged — no expired column
+    stream = spark.readStream.schema("k string, v long").parquet(src)
+    assert "expired" not in running_distinct(stream, "v", by=["k"]).columns
+
+
 def test_sketch_stream_incremental_deltas(spark, tmp_path):
     """Round-4 verdict item #3: per-batch written rows must track the batch's
     TOUCHED keys, not the full accumulated key set, and compaction must fold
