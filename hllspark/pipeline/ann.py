@@ -191,22 +191,24 @@ def cosine_pairs_lsh(
     cosine_lsh_bucket_stats to monitor how many buckets were split."""
     from .dedup import _pairs_from_lists, _split_oversized
 
-    cand = None
-    for t in range(n_tables):
-        indexed = lsh_index(df, dim, h=h, seed=seed + t, id_col=id_col, vec_col=vec_col)
-        buckets = (
-            indexed.groupBy("bucket")
-            .agg(F.collect_list(id_col).alias("ids"))
-            .filter(F.size("ids") > 1)
-        )
-        small = _pairs_from_lists(buckets.filter(F.size("ids") <= max_bucket))
-        big = _split_oversized(
-            buckets.filter(F.size("ids") > max_bucket), ["bucket"], max_bucket,
-            mode=mode, exhaustive_budget=exhaustive_budget,
-        )
-        table = small.unionByName(big)
-        cand = table if cand is None else cand.unionByName(table)
-    cand = cand.distinct()
+    # ONE scan emits every table's bucket key (posexplode), one groupBy
+    # buckets them all: n_tables multiplies the tiny (tbl, bucket, id)
+    # shuffle, not the embedding scan
+    indexed = _lsh_index_multi(
+        df, dim, h=h, seeds=[seed + t for t in range(n_tables)], id_col=id_col, vec_col=vec_col
+    )
+    buckets = (
+        indexed.select(id_col, F.posexplode("buckets").alias("tbl", "bucket"))
+        .groupBy("tbl", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    small = _pairs_from_lists(buckets.filter(F.size("ids") <= max_bucket))
+    big = _split_oversized(
+        buckets.filter(F.size("ids") > max_bucket), ["tbl", "bucket"], max_bucket,
+        mode=mode, exhaustive_budget=exhaustive_budget,
+    )
+    cand = small.unionByName(big).distinct()
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
     j = cand.join(va, "a").join(vb, "b")
@@ -265,6 +267,47 @@ def recommended_h(n_rows: int, target_bucket: int = 1000) -> int:
     import math
 
     return max(1, math.ceil(math.log2(max(1.0, n_rows / max(1, target_bucket)))))
+
+
+def _lsh_index_multi(
+    df: DataFrame,
+    dim: int,
+    h: int,
+    seeds: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame[id, buckets array<bigint>] — one bucket key per hyperplane
+    table, computed in a SINGLE pass (one (n, T·h) GEMM per Arrow batch).
+    Table t's key is identical to lsh_index(df, dim, h, seed=seeds[t])."""
+    planes = np.concatenate([_hyperplanes(dim, h, s) for s in seeds], axis=1)  # (dim, T·h)
+    ntab = len(seeds)
+
+    def assign(batches) -> Iterator:
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            m = _matrix(batch.column(batch.schema.get_field_index(vec_col)), dim)
+            bits = (m @ planes) > 0  # (n, T·h)
+            buckets = np.zeros((len(m), ntab), dtype=np.int64)
+            for t in range(ntab):
+                for j in range(h):
+                    buckets[:, t] |= bits[:, t * h + j].astype(np.int64) << j
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.FixedSizeListArray.from_arrays(pa.array(buckets.ravel()), ntab).cast(
+                        pa.list_(pa.int64())
+                    ),
+                ],
+                names=[id_col, "buckets"],
+            )
+
+    id_field = df.schema[id_col]
+    return df.select(id_col, vec_col).mapInArrow(
+        assign, schema=f"{id_col} {id_field.dataType.simpleString()}, buckets array<bigint>"
+    )
 
 
 def lsh_index(
