@@ -131,3 +131,18 @@ def test_minhash_udaf_plan_shape(spark, pages_small_dir):
     assert "ObjectHashAggregate" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "minhashaggregator" in plan.lower(), plan
+
+
+def test_cosine_pairs_lsh_exchange_reuse(spark, sf001_dir):
+    """Round-5: cosine_pairs_lsh's candidate branches (small / oversized /
+    sub-bucket / chain) all derive from ONE scan→GEMM→groupBy subtree; AQE
+    must REUSE that exchange at runtime so the embedding scan + hyperplane
+    GEMM executes once, not once per branch (statically the plan prints the
+    subtree per branch — only the executed adaptive plan shows the reuse)."""
+    from hllspark.pipeline import ann
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    p = ann.cosine_pairs_lsh(emb, threshold=0.5, dim=64, h=8)
+    p.collect()
+    plan = _plan(p)
+    assert "ReusedExchange" in plan, plan
