@@ -432,6 +432,21 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(int(n),)], "n_pairs long")
 
 
+def q_jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 exact n-gram Jaccard dedup: MinHash-LSH candidates verified
+    with the EXACT char-12-gram set Jaccard (hllspark/pipeline/dedup.py
+    jaccard_pairs).  Unlike the estimate-based pair queries, the oracle here
+    is fully independent: DuckDB enumerates EVERY 12-gram, self-joins, and
+    counts all pairs with true J >= 0.9 exhaustively — the LSH candidate
+    path must recover the identical complete answer (collision miss
+    probability at J=0.9, k=128/bands=32 is ~5e-15)."""
+    from hllspark.pipeline import dedup
+
+    d = _read(spark, sf_dir, "documents")
+    n = dedup.jaccard_pairs(d, threshold=0.9, ngram=12, k=128, bands=32).count()
+    return spark.createDataFrame([(int(n),)], "n_pairs long")
+
+
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hllspark.pipeline import dedup
 
@@ -933,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": q_quality_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "jaccard_near_dup_pairs": q_jaccard_near_dup_pairs,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "lang_id_samples": q_lang_id_samples,
@@ -1046,6 +1062,20 @@ def oracle_sql() -> dict[str, str]:
         # deterministic under the fixed signature seeds (measured; the
         # documents fixture ships ~25 built-in J>=0.92 near-dup pairs)
         "minhash_near_dup_pairs": "SELECT CAST(24 AS BIGINT) AS n_pairs",
+        # fully independent derivation: enumerate every char-12-gram,
+        # self-join, count pairs at true Jaccard >= 0.9 (ASCII fixture, so
+        # character grams == the kernel's byte grams)
+        "jaccard_near_dup_pairs": (
+            "WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 12), "
+            "e AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 11)) AS i FROM d), "
+            "g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS gm FROM e), "
+            "s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+            "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c "
+            "FROM g x JOIN g y ON x.gm = y.gm AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT count(*) AS n_pairs FROM inter "
+            "JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b "
+            "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9"
+        ),
         "simhash_near_dup_pairs": "SELECT CAST(20 AS BIGINT) AS n_pairs",
         "ann_topk_cosine": (
             "WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0) "

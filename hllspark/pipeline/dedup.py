@@ -324,6 +324,96 @@ def verified_pairs(
     return joined.select("a", "b", est).filter(F.col("est_jaccard") >= threshold)
 
 
+def _ngram_hash_sets(texts, n: int) -> list[np.ndarray]:
+    """Per-row SORTED-UNIQUE char-n-gram hash sets from a pyarrow string
+    array (one _char_ngram_hashes pass + one lexsort for the whole batch;
+    only the per-row dedupe slice-loop is Python)."""
+    from ..core.hash import arrow_string_buffers
+
+    flat, offsets = arrow_string_buffers(texts.fill_null(""))
+    nrows = len(texts)
+    h, doc_of = _char_ngram_hashes(flat, offsets.astype(np.int64), n)
+    if not len(h):
+        return [np.empty(0, np.uint64)] * nrows
+    order = np.lexsort((h, doc_of))
+    hs, ds = h[order], doc_of[order]
+    starts = np.searchsorted(ds, np.arange(nrows))
+    ends = np.searchsorted(ds, np.arange(nrows), side="right")
+    out = []
+    for i in range(nrows):
+        seg = hs[starts[i] : ends[i]]  # sorted within the row already
+        if len(seg):
+            seg = seg[np.concatenate(([True], seg[1:] != seg[:-1]))]
+        out.append(seg)
+    return out
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    k: int = 128,
+    sig_ngram: int | None = None,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    mode: str = "connected",
+    exhaustive_budget: int = 50_000_000,
+    eager: bool = True,
+) -> DataFrame:
+    """EXACT char-n-gram Jaccard near-duplicate pairs.
+
+    The third dedup verification mode next to verified_pairs (MinHash
+    signature ESTIMATE) and simhash_near_pairs (hamming): candidates come
+    from the same bucketed MinHash-LSH machinery (generation never goes
+    quadratic — oversized buckets salt-split/budget-guarded), but each
+    candidate pair is verified with the exact Jaccard of its char-n-gram
+    hash SETS, computed in one Arrow-batched kernel over the joined texts.
+    Returns DataFrame[a, b, jaccard (double)].
+
+    Cost note: verification re-reads the two texts of every candidate pair
+    (O(candidate pairs × doc bytes)) where verified_pairs compares k-slot
+    signatures — use this when the downstream decision needs the true
+    Jaccard (e.g. audit/threshold calibration), verified_pairs for bulk
+    dedup.  Recall is the LSH S-curve at (k, bands), as for verified_pairs.
+
+    ``sig_ngram``: shingle size for the candidate-generation signatures when
+    it should differ from the verified shingle size (default: same)."""
+    df = df.filter(F.length(F.coalesce(F.col(text_col), F.lit(""))) >= ngram)
+    sig_df = minhash_signatures(df, id_col, text_col, k=k, ngram=sig_ngram or ngram)
+    if eager:
+        sig_df = sig_df.localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(
+        sig_df, id_col, bands=bands, max_bucket=max_bucket, mode=mode,
+        exhaustive_budget=exhaustive_budget,
+    )
+    ta = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("__ta"))
+    tb = df.select(F.col(id_col).alias("b"), F.col(text_col).alias("__tb"))
+    joined = cand.join(ta, "a").join(tb, "b")
+
+    def verify(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            names = batch.schema.names
+            sa = _ngram_hash_sets(batch.column(names.index("__ta")), ngram)
+            sb = _ngram_hash_sets(batch.column(names.index("__tb")), ngram)
+            jac = np.empty(batch.num_rows, dtype=np.float64)
+            for i in range(batch.num_rows):
+                inter = np.intersect1d(sa[i], sb[i], assume_unique=True).size
+                union = sa[i].size + sb[i].size - inter
+                jac[i] = inter / union if union else 0.0
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(names.index("a")), batch.column(names.index("b")), pa.array(jac)],
+                names=["a", "b", "jaccard"],
+            )
+
+    idt = df.schema[id_col].dataType.simpleString()
+    out = joined.mapInArrow(verify, schema=f"a {idt}, b {idt}, jaccard double")
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def dedup_near(
     df: DataFrame,
     id_col: str = "doc_id",

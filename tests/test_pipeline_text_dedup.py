@@ -344,3 +344,32 @@ def test_verified_pairs_lazy_opt_out(spark, sf01_dir):
     lazy_df = dedup.verified_pairs(df, "doc_id", "text", threshold=0.8, eager=False)
     assert not lazy_df.isStreaming  # plain lazy DataFrame, no action ran yet
     assert {(r["a"], r["b"]) for r in lazy_df.collect()} == eager
+
+
+def test_jaccard_pairs_exact_verification(spark, spiked):
+    """Round-5: jaccard_pairs verifies candidates with the EXACT char-n-gram
+    set Jaccard — every reported value must equal a pure-python set
+    computation over the same utf-8 bytes, and the spiked dups are found
+    with their true Jaccard (exact dups at exactly 1.0)."""
+    texts = {r["doc_id"]: r["text"] for r in spiked.collect()}
+
+    def ref(a, b, n=12):
+        ta, tb = texts[a].encode(), texts[b].encode()
+        ga = {ta[i : i + n] for i in range(len(ta) - n + 1)}
+        gb = {tb[i : i + n] for i in range(len(tb) - n + 1)}
+        u = len(ga | gb)
+        return len(ga & gb) / u if u else 0.0
+
+    rows = dedup.jaccard_pairs(spiked, threshold=0.0, ngram=12, k=128, bands=32).collect()
+    assert rows
+    for r in rows:
+        assert r["jaccard"] == pytest.approx(ref(r["a"], r["b"]), abs=1e-12), (r["a"], r["b"])
+
+    hi = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(spiked, threshold=0.8, ngram=12, k=128, bands=32).collect()
+    }
+    expected = {(i, i + 100_000) for i in range(40)}
+    assert len(expected & set(hi)) >= 38  # ≥95% recall on the spiked near-dups
+    for i in range(20):
+        assert hi[(i, i + 200_000)] == 1.0  # exact dups: true Jaccard exactly 1
