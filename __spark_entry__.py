@@ -439,11 +439,14 @@ def q_jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fully independent: DuckDB enumerates EVERY 12-gram, self-joins, and
     counts all pairs with true J >= 0.9 exhaustively — the LSH candidate
     path must recover the identical complete answer (collision miss
-    probability at J=0.9, k=128/bands=32 is ~5e-15)."""
+    probability at J=0.9, k=128/bands=32 is ~5e-15).  mode="exhaustive" so
+    an oversized band bucket (if a fixture ever produced one) enumerates its
+    complete pair set instead of a connected subset — the completeness claim
+    must not silently depend on bucket sizes staying under max_bucket."""
     from hllspark.pipeline import dedup
 
     d = _read(spark, sf_dir, "documents")
-    n = dedup.jaccard_pairs(d, threshold=0.9, ngram=12, k=128, bands=32).count()
+    n = dedup.jaccard_pairs(d, threshold=0.9, ngram=12, k=128, bands=32, mode="exhaustive").count()
     return spark.createDataFrame([(int(n),)], "n_pairs long")
 
 

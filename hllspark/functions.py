@@ -176,7 +176,10 @@ def _cmp_operand(v) -> float | None:
         return None
     if isinstance(v, (bytes, bytearray)):
         return HLL.from_bytes(bytes(v)).estimate()
-    return float(v)
+    f = float(v)
+    # Spark delivers numeric-with-NULLs to pandas UDFs as float64 NaN (see
+    # CLAUDE.md); NaN here IS SQL NULL, not a number to compare
+    return None if f != f else f
 
 
 def _make_estimate_cmp(op):

@@ -127,19 +127,30 @@ def _reflect_new(spark: SparkSession, loader, cls_name: str, args: list):
     return ctor.newInstance(jargs)
 
 
-def _java_illegal_arg(exc) -> str | None:
-    """If a py4j error wraps a java.lang.IllegalArgumentException (directly,
-    or under the reflection path's InvocationTargetException), return its
-    message; else None.  Lets _new_jvm_obj tell a PARAMETER error (the Java
-    ctor guards, e.g. CountMinAggregator's depth*width overflow check) apart
-    from a class-resolution failure (jar absent / version skew)."""
+def _java_illegal_arg(exc, require_wrapped: bool) -> str | None:
+    """If a py4j error carries a ctor-guard java.lang.IllegalArgumentException,
+    return its message; else None.  Lets _new_jvm_obj tell a PARAMETER error
+    (the Java ctor guards, e.g. CountMinAggregator's depth*width overflow
+    check) apart from a resolution failure (jar absent / version skew).
+
+    ``require_wrapped`` (the reflection path): Constructor.newInstance throws
+    a RAW IllegalArgumentException itself for wrong arity / argument types —
+    i.e. a version-skewed jar whose same-named class has a different ctor —
+    while a guard thrown INSIDE the ctor arrives wrapped in
+    InvocationTargetException.  Only the wrapped form is a user parameter
+    error; a top-level IAE there must stay a silent fallback (None).  On the
+    direct py4j path a guard IAE arrives unwrapped (arity problems surface
+    as py4j-side errors with no java_exception), so top-level counts."""
     try:
         je = getattr(exc, "java_exception", None)
-        for _ in range(5):  # unwrap InvocationTargetException / cause chains
+        wrapped = False
+        for _ in range(5):
             if je is None:
                 return None
-            if je.getClass().getName() == "java.lang.IllegalArgumentException":
+            name = je.getClass().getName()
+            if name == "java.lang.IllegalArgumentException" and (wrapped or not require_wrapped):
                 return je.getMessage()
+            wrapped = wrapped or name == "java.lang.reflect.InvocationTargetException"
             je = je.getCause()
     except Exception:
         pass
@@ -185,7 +196,7 @@ def _new_jvm_obj(spark: SparkSession, cls_name: str, args: list):
             return obj
         return _reflect_new(spark, loader, cls_name, args)
     except Exception as exc:
-        msg = _java_illegal_arg(exc)
+        msg = _java_illegal_arg(exc, require_wrapped=(mode != "direct"))
         if msg is not None:
             raise ValueError(f"{cls_name.rsplit('.', 1)[-1]}: {msg}") from None
         return None

@@ -189,7 +189,7 @@ def cosine_pairs_lsh(
     through a memory-bounded per-bucket join up to ``exhaustive_budget``
     pairs per bucket (beyond that: connected fallback).  Use
     cosine_lsh_bucket_stats to monitor how many buckets were split."""
-    from .dedup import _pairs_from_lists, _split_oversized
+    from .dedup import _bucketed_pairs
 
     # ONE scan emits every table's bucket key (posexplode), one groupBy
     # buckets them all: n_tables multiplies the tiny (tbl, bucket, id)
@@ -203,12 +203,9 @@ def cosine_pairs_lsh(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    small = _pairs_from_lists(buckets.filter(F.size("ids") <= max_bucket))
-    big = _split_oversized(
-        buckets.filter(F.size("ids") > max_bucket), ["tbl", "bucket"], max_bucket,
-        mode=mode, exhaustive_budget=exhaustive_budget,
-    )
-    cand = small.unionByName(big).distinct()
+    cand = _bucketed_pairs(
+        buckets, ["tbl", "bucket"], max_bucket, mode=mode, exhaustive_budget=exhaustive_budget
+    ).distinct()
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
     j = cand.join(va, "a").join(vb, "b")
@@ -227,23 +224,26 @@ def cosine_lsh_bucket_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 1000,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Monitoring companion to cosine_pairs_lsh (mirrors dedup.lsh_bucket_stats):
     one row of bucket-size metrics including how many buckets exceed
     ``max_bucket`` (those are salt-split, so their pair lists are connected
     subsets unless mode=\"exhaustive\").  Run this before committing to an
-    (h, max_bucket) choice at a new data scale."""
+    (h, max_bucket) choice at a new data scale.  Pass the SAME ``n_tables``
+    as the cosine_pairs_lsh call — the stats cover every table's buckets
+    (an oversized bucket in table 2 splits even when table 0 is clean)."""
+    from .dedup import _bucket_size_stats
+
+    indexed = _lsh_index_multi(
+        df, dim, h=h, seeds=[seed + t for t in range(n_tables)], id_col=id_col, vec_col=vec_col
+    )
     sizes = (
-        lsh_index(df, dim, h=h, seed=seed, id_col=id_col, vec_col=vec_col)
-        .groupBy("bucket")
+        indexed.select(id_col, F.posexplode("buckets").alias("tbl", "bucket"))
+        .groupBy("tbl", "bucket")
         .agg(F.count("*").alias("n"))
     )
-    return sizes.agg(
-        F.count("*").alias("n_buckets"),
-        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_candidate_buckets"),
-        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("n_oversized_split"),
-        F.max("n").alias("max_bucket_size"),
-    )
+    return _bucket_size_stats(sizes, max_bucket)
 
 
 # ---------------------------------------------------------------------------

@@ -212,6 +212,37 @@ def _split_oversized(
     return within.unionByName(chain)
 
 
+def _bucketed_pairs(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int,
+    mode: str = "connected",
+    exhaustive_budget: int = 50_000_000,
+) -> DataFrame:
+    """Candidate pairs from bucket member-lists (columns: *bucket_cols,
+    ``ids`` array): direct pair explosion for small buckets, the
+    salt-split/budget-guarded machinery for oversized ones.  The ONE place
+    the oversized-bucket semantics live — shared by lsh_candidate_pairs and
+    ann.cosine_pairs_lsh so the two paths cannot silently diverge."""
+    small = _pairs_from_lists(buckets.filter(F.size("ids") <= max_bucket))
+    big = _split_oversized(
+        buckets.filter(F.size("ids") > max_bucket), bucket_cols, max_bucket,
+        mode=mode, exhaustive_budget=exhaustive_budget,
+    )
+    return small.unionByName(big)
+
+
+def _bucket_size_stats(sizes: DataFrame, max_bucket: int) -> DataFrame:
+    """One-row bucket-size metrics from a (..., n) per-bucket count table —
+    shared by lsh_bucket_stats and ann.cosine_lsh_bucket_stats."""
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_candidate_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("n_oversized_split"),
+        F.max("n").alias("max_bucket_size"),
+    )
+
+
 def _band_explode(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
     sig = F.col("sig")
     # r (rows per band) is computed from the actual array size at runtime
@@ -256,12 +287,9 @@ def lsh_candidate_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    small = _pairs_from_lists(buckets.filter(F.size("ids") <= max_bucket))
-    big = _split_oversized(
-        buckets.filter(F.size("ids") > max_bucket), ["band", "bh"], max_bucket,
-        mode=mode, exhaustive_budget=exhaustive_budget,
-    )
-    return small.unionByName(big).distinct()
+    return _bucketed_pairs(
+        buckets, ["band", "bh"], max_bucket, mode=mode, exhaustive_budget=exhaustive_budget
+    ).distinct()
 
 
 def lsh_bucket_stats(sig_df: DataFrame, id_col: str = "doc_id", bands: int = 16, max_bucket: int = 1000) -> DataFrame:
@@ -269,12 +297,7 @@ def lsh_bucket_stats(sig_df: DataFrame, id_col: str = "doc_id", bands: int = 16,
     metrics, including how many buckets exceeded max_bucket (those are
     salt-split, so their pair lists are connected subsets, not exhaustive)."""
     sizes = _band_explode(sig_df, id_col, bands).groupBy("band", "bh").agg(F.count("*").alias("n"))
-    return sizes.agg(
-        F.count("*").alias("n_buckets"),
-        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_candidate_buckets"),
-        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("n_oversized_split"),
-        F.max("n").alias("max_bucket_size"),
-    )
+    return _bucket_size_stats(sizes, max_bucket)
 
 
 def verified_pairs(

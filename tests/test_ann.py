@@ -115,6 +115,11 @@ def test_cosine_pairs_lsh_mega_bucket_guard(spark):
     stats = ann.cosine_lsh_bucket_stats(df, DIM, h=4, max_bucket=20).collect()[0]
     assert stats["max_bucket_size"] == n
     assert stats["n_oversized_split"] >= 1
+    # multi-table stats cover EVERY table's buckets (review fix): the same
+    # mega-cluster is oversized in each of the 3 tables
+    mt = ann.cosine_lsh_bucket_stats(df, DIM, h=4, max_bucket=20, n_tables=3).collect()[0]
+    assert mt["n_oversized_split"] >= 3
+    assert mt["max_bucket_size"] == n
 
     # exhaustive mode: complete pair set — every pair is a near-dup here
     ex = ann.cosine_pairs_lsh(df, threshold=0.99, dim=DIM, h=4, max_bucket=20, mode="exhaustive")

@@ -572,3 +572,44 @@ def test_b18_memory_envelope_grouped(udaf_spark):
     }
     for g, est in ests.items():
         assert abs(est - per_key) / per_key < bound
+
+
+def test_java_illegal_arg_discrimination():
+    """Round-5 review fix: on the reflection path, Constructor.newInstance's
+    own raw IllegalArgumentException (wrong arity — a version-skewed jar)
+    must stay a silent None fallback; only an IAE WRAPPED in
+    InvocationTargetException (a guard inside the ctor body) is a user
+    parameter error.  Direct py4j path: top-level IAE is the guard."""
+
+    class JE:
+        def __init__(self, name, msg=None, cause=None):
+            self._name, self._msg, self._cause = name, msg, cause
+
+        def getClass(self):
+            return self
+
+        def getName(self):
+            return self._name
+
+        def getMessage(self):
+            return self._msg
+
+        def getCause(self):
+            return self._cause
+
+    class Exc(Exception):
+        def __init__(self, je):
+            self.java_exception = je
+
+    iae = JE("java.lang.IllegalArgumentException", "k must be in [8, 65535]")
+    wrapped = JE("java.lang.reflect.InvocationTargetException", cause=iae)
+    arity = JE("java.lang.IllegalArgumentException", "wrong number of arguments")
+
+    # reflection path (require_wrapped=True)
+    assert ju._java_illegal_arg(Exc(wrapped), True) == "k must be in [8, 65535]"
+    assert ju._java_illegal_arg(Exc(arity), True) is None  # version skew → fallback
+    # direct path (require_wrapped=False): top-level IAE is the guard
+    assert ju._java_illegal_arg(Exc(iae), False) == "k must be in [8, 65535]"
+    # non-IAE failures are never parameter errors
+    assert ju._java_illegal_arg(Exc(JE("java.lang.ClassNotFoundException")), False) is None
+    assert ju._java_illegal_arg(RuntimeError("no java_exception"), True) is None

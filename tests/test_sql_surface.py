@@ -125,6 +125,7 @@ def test_estimate_comparison_operators(spark):
                hll_ge(big, hll_estimate(big)) AS ge_cn_exact,
                hll_le(hll_estimate(big), big) AS le_nc_exact,
                hll_gt(nul, small) AS gt_null,
+               hll_gt(big, CAST(NULL AS DOUBLE)) AS gt_null_num,
                (hll_estimate(big) > hll_estimate(small)) AS gt_composed
         FROM s
         """
@@ -135,3 +136,6 @@ def test_estimate_comparison_operators(spark):
     assert row["gt_cn"] is True and row["lt_nc"] is True
     assert row["ge_cn_exact"] is True and row["le_nc_exact"] is True
     assert row["gt_null"] is None  # NULL counter → NULL comparison (SQL semantics)
+    # numeric NULL arrives in the pandas UDF as float64 NaN (Spark's
+    # numeric-with-NULLs behavior) — must still compare as SQL NULL
+    assert row["gt_null_num"] is None
