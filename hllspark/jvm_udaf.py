@@ -259,6 +259,37 @@ def hll_udaf_column(spark: SparkSession, hash_col: Column, b: int, binbits: int)
     return _to_col(judf.apply(_col_seq(spark, [hash_col])))
 
 
+def _estimate_udf_column(spark: SparkSession, blob_col: Column) -> Column | None:
+    """Column: udaf intermediate blob → estimate via the in-JVM estimator
+    (HllBlobEstimateUdf), or None when the class is absent (a pre-round-5
+    jar — version skew).  With it the distinct-count query path is
+    scan → xxhash64 → ObjectHashAggregate → one JVM scalar call per group:
+    no Arrow transfer, no Python worker.  Estimates match the pandas
+    finalize (_blob_estimate) bit-for-bit except in the linear-counting
+    regimes, where the JVM's StrictMath.log (fdlibm — chosen for
+    bit-reproducibility across JIT tiers/platforms) can differ from the
+    platform libm CPython uses by at most 1 ulp (~1e-16 relative; the
+    10-decimal goldens and the micro-unit contract compare are unaffected;
+    tests/test_jvm_estimate.py pins both regimes across modes, precisions
+    and chain rows).
+
+    Callers fall back silently to the pandas finalize: the aggregation
+    engine itself resolved (hll_udaf_column raised otherwise), only the
+    finalize optimization is missing, and results are identical either way
+    (the version-skew pattern: guard the calls, not the imports)."""
+    factory = _new_jvm_obj(spark, "hllsparkjvm.HllUdfs", [])
+    if factory is None:
+        return None
+    try:
+        # overload selection happens in Java (HllUdfs.blobEstimate): py4j
+        # calling functions.udf(obj, dt) directly can bind the deprecated
+        # untyped-Scala overload, which Spark 4 rejects (UNTYPED_SCALA_UDF)
+        ju = factory.blobEstimate()
+        return _to_col(ju.apply(_col_seq(spark, [blob_col])))
+    except Exception:
+        return None
+
+
 def _blob_to_hll(buf):
     """Rebuild the exact core.hll.HLL state from the aggregator's blob
     (v1: HllRegisterAggregator.finish — pre-hashed build path, hash_kind is
@@ -403,8 +434,15 @@ def sketch_jvm_udaf(
     acol = hll_udaf_column(spark, jvm_hash_expr(df, value_col), b, binbits)
     gb = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
     agged = gb.agg(acol.alias("__blob"))
-    fin = _finalize_udf(finalize)
     outname = "sketch" if finalize == "sketch" else est_col
+    if finalize in ("estimate", "estimate_bigint"):
+        jcol = _estimate_udf_column(spark, F.col("__blob"))
+        if jcol is not None:
+            if finalize == "estimate_bigint":
+                # int(round(e)) is half-even → bround; NULL coalesces to 0
+                jcol = F.coalesce(F.bround(jcol).cast("long"), F.lit(0))
+            return agged.select(*by, jcol.alias(outname))
+    fin = _finalize_udf(finalize)
     return agged.select(*by, fin(F.col("__blob")).alias(outname))
 
 
@@ -782,8 +820,14 @@ def hll_merge_udaf(
         ) from None
     gb = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
     agged = gb.agg(acol.alias("__blob"))
-    fin = _finalize_udf(finalize)
     outname = "sketch" if finalize == "sketch" else est_col
+    if finalize in ("estimate", "estimate_bigint"):
+        jcol = _estimate_udf_column(spark, F.col("__blob"))
+        if jcol is not None:  # silent pandas fallback on a pre-round-5 jar
+            if finalize == "estimate_bigint":
+                jcol = F.coalesce(F.bround(jcol).cast("long"), F.lit(0))
+            return agged.select(*by, jcol.alias(outname))
+    fin = _finalize_udf(finalize)
     return agged.select(*by, fin(F.col("__blob")).alias(outname))
 
 

@@ -1,0 +1,28 @@
+package hllsparkjvm;
+
+import org.apache.spark.sql.expressions.UserDefinedFunction;
+import org.apache.spark.sql.functions;
+import org.apache.spark.sql.types.DataTypes;
+
+/**
+ * Scalar-UDF factories for the jar's non-aggregate functions.
+ *
+ * Exists because overload selection must happen in JAVA: calling
+ * {@code functions.udf(instance, dataType)} through py4j can bind the
+ * deprecated untyped-Scala-UDF overload {@code udf(Object, DataType)}
+ * (rejected by Spark 4 with UNTYPED_SCALA_UDF/42K0E) instead of
+ * {@code udf(UDF1, DataType)} — here the static types pick the right one
+ * at compile time.  Instantiated through jvm_udaf._new_jvm_obj like the
+ * aggregators, so it works on both the spark.jars and the ADD JAR +
+ * reflection resolution paths.
+ */
+public final class HllUdfs implements java.io.Serializable {
+  private static final long serialVersionUID = 1L;
+
+  public HllUdfs() {}
+
+  /** udaf intermediate blob → HLL++ estimate (HllBlobEstimateUdf). */
+  public UserDefinedFunction blobEstimate() {
+    return functions.udf(new HllBlobEstimateUdf(), DataTypes.DoubleType);
+  }
+}
