@@ -290,6 +290,41 @@ def _estimate_udf_column(spark: SparkSession, blob_col: Column) -> Column | None
         return None
 
 
+def hll_estimate_col(spark: SparkSession, sketch_col: Column | str) -> Column:
+    """Per-row estimate of STORED canonical counters in the JVM
+    (HllSketchEstimateUdf) — the ``hyperloglog_get_estimate`` / ``#`` read
+    path over sketch rollup tables (reference postgres.sql:112-114) with no
+    pandas decode per row: decodes every v1/v2 canonical payload form
+    (raw/group-varint sparse, raw/bit-packed/deflated dense, via the same
+    Java decoder the blob-merge aggregator uses) and estimates with the
+    in-JVM estimator (parity contract in _estimate_udf_column).
+
+    EXPLICIT-engine semantics: raises RuntimeError when the jar (or this
+    class — version skew) isn't loadable, like the other jvm_udaf entry
+    points.  Scope contract — identical to the pandas reader's: CANONICAL
+    hllspark counters only; the Postgres reference's own legacy wire blobs
+    (PGLZ dense, core/legacy.py) fail loudly in BOTH paths and must go
+    through ``hll_update`` first, exactly as in the reference
+    (test/sql/update.sql workflow).  ``functions.hll_estimate`` remains the
+    jar-free default; this is the faster all-JVM read for sketch rollup
+    tables."""
+    factory = _new_jvm_obj(spark, "hllsparkjvm.HllUdfs", [])
+    ju = None
+    if factory is not None:
+        try:
+            ju = factory.sketchEstimate()
+        except Exception:
+            ju = None
+    if ju is None:
+        raise RuntimeError(
+            "hllspark-udaf.jar with HllSketchEstimateUdf not loadable in this "
+            "session; create the session with hllspark.jvm_udaf.configure_builder "
+            "(round-5+ jar) or use hllspark.functions.hll_estimate (pandas)"
+        )
+    col = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    return _to_col(ju.apply(_col_seq(spark, [col])))
+
+
 def _blob_to_hll(buf):
     """Rebuild the exact core.hll.HLL state from the aggregator's blob
     (v1: HllRegisterAggregator.finish — pre-hashed build path, hash_kind is

@@ -25,4 +25,9 @@ public final class HllUdfs implements java.io.Serializable {
   public UserDefinedFunction blobEstimate() {
     return functions.udf(new HllBlobEstimateUdf(), DataTypes.DoubleType);
   }
+
+  /** stored canonical counter → HLL++ estimate (HllSketchEstimateUdf). */
+  public UserDefinedFunction sketchEstimate() {
+    return functions.udf(new HllSketchEstimateUdf(), DataTypes.DoubleType);
+  }
 }

@@ -132,6 +132,82 @@ def test_jvm_estimate_v2_merge_path(udaf_spark):
     assert ju.hll_merge_udaf(edf, "sketch", finalize="estimate").first()["est"] == 0.0
 
 
+@pytest.fixture(scope="module")
+def sketch_est_spark(udaf_spark):
+    try:
+        ju.hll_estimate_col(udaf_spark, F.lit(None).cast("binary"))
+    except RuntimeError:
+        pytest.skip("jar predates HllSketchEstimateUdf (version skew)")
+    return udaf_spark
+
+
+def test_sketch_estimate_col_payload_forms(sketch_est_spark):
+    """Per-row in-JVM estimate of STORED canonical counters matches the
+    pandas reader (functions.hll_estimate) across EVERY serialization the
+    library emits — raw + group-varint sparse, raw + bit-packed + deflated
+    dense — plus NULL→NULL and empty-counter→0.0."""
+    spark = sketch_est_spark
+    df = spark.range(50_000).select((F.col("id") % 6).alias("g"), (F.col("id") * 13).alias("v"))
+    # 6 groups of ~8.3k values: dense registers; plus small groups for sparse
+    small = spark.range(40).select((F.col("id") % 4 + 10).alias("g"), F.col("id").alias("v"))
+    stored = ju.sketch_jvm_udaf(df.unionAll(small), "v", ["g"]).collect()
+    blobs = []
+    for r in stored:
+        h = HLL.from_bytes(bytes(r["sketch"]))
+        blobs.append(h.to_bytes(packed=False, compress=False))  # raw sparse / raw dense
+        blobs.append(h.to_bytes(packed=True, compress=False))   # bit-packed dense (no-op for sparse)
+        blobs.append(h.to_bytes(compress=True))                 # varint sparse / deflated dense
+    blobs.append(HLL.create(b=14, binbits=6, hash_kind=HASH_XXHASH_SPARK).to_bytes())  # empty
+    rows = [(i, bytearray(b)) for i, b in enumerate(blobs)] + [(len(blobs), None)]
+    sdf = spark.createDataFrame(rows, "i int, sketch binary").repartition(3)
+    got = sdf.select("i", ju.hll_estimate_col(spark, F.col("sketch")).alias("jv")).collect()
+    import hllspark.functions as hf
+
+    pv_rows = sdf.select("i", hf.hll_estimate(F.col("sketch")).alias("pv")).collect()
+    pv = {r["i"]: r["pv"] for r in pv_rows}
+    assert len(got) == len(blobs) + 1
+    for r in got:
+        assert _close1ulp(r["jv"], pv[r["i"]]), (r["i"], r["jv"], pv[r["i"]])
+    by_i = {r["i"]: r["jv"] for r in got}
+    assert by_i[len(blobs) - 1] == 0.0  # empty stored counter
+    assert by_i[len(blobs)] is None  # SQL NULL sketch
+
+
+def test_sketch_estimate_col_plan_is_all_jvm(sketch_est_spark, tmp_path):
+    """The read path this UDF exists for — scan a stored sketch-rollup table
+    → estimate — must contain no Python/Arrow stage at all (the build side
+    may; that's the write-time cost, paid once)."""
+    spark = sketch_est_spark
+    df = spark.range(1000).select((F.col("id") % 9).alias("g"), F.col("id").alias("v"))
+    path = str(tmp_path / "rollup")
+    ju.sketch_jvm_udaf(df, "v", ["g"]).write.parquet(path)
+    q = spark.read.parquet(path).select("g", ju.hll_estimate_col(spark, F.col("sketch")).alias("est"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    ests = {r["g"]: r["est"] for r in q.collect()}
+    assert len(ests) == 9 and all(6 <= e <= 140 for e in ests.values())
+
+
+def test_sketch_estimate_col_refuses_non_canonical(sketch_est_spark):
+    """A blob whose header is not a canonical hllspark counter (e.g. a
+    reference-legacy wire blob, whose negative-b compressed flag form or
+    PGLZ payload this UDF deliberately does not decode) fails the task
+    LOUDLY instead of returning a wrong estimate."""
+    spark = sketch_est_spark
+    bad = bytes([1, 0x80, 6, 0, 0, 0, 0, 0]) + b"\x00" * 16  # b=-128: legacy/corrupt
+    bdf = spark.createDataFrame([(bytearray(bad),)], "sketch binary")
+    with pytest.raises(Exception, match="not a canonical hllspark counter"):
+        bdf.select(ju.hll_estimate_col(spark, F.col("sketch")).alias("e")).collect()
+
+
+def test_sketch_estimate_col_no_jar_is_loud(sketch_est_spark, monkeypatch):
+    """Explicit-engine semantics: unlike the auto routes, a missing jar (or
+    version skew) raises RuntimeError instead of silently degrading."""
+    monkeypatch.setattr(ju, "_new_jvm_obj", lambda *a, **k: None)
+    with pytest.raises(RuntimeError, match="HllSketchEstimateUdf"):
+        ju.hll_estimate_col(sketch_est_spark, F.lit(None).cast("binary"))
+
+
 def test_jvm_estimate_bit_exact_in_bias_corrected_regime(udaf_spark):
     """Where no logarithm is taken (dense, past the linear-counting
     threshold) the JVM estimate must be BIT-identical — the harmonic sum,
