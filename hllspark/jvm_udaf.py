@@ -308,21 +308,112 @@ def hll_estimate_col(spark: SparkSession, sketch_col: Column | str) -> Column:
     (test/sql/update.sql workflow).  ``functions.hll_estimate`` remains the
     jar-free default; this is the faster all-JVM read for sketch rollup
     tables."""
+    return _read_udf_apply(
+        spark, "sketchEstimate", "HllSketchEstimateUdf", "functions.hll_estimate",
+        [_as_col(sketch_col)],
+    )
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _read_udf_apply(spark: SparkSession, method: str, klass: str, fallback: str, cols) -> Column:
+    """Bind one of HllUdfs' scalar read-UDF factories and apply it.
+
+    EXPLICIT-engine semantics shared by every per-row read entry point:
+    RuntimeError when the jar (or the factory method — version skew on a
+    pre-round-5 jar) isn't loadable, naming the pandas fallback."""
     factory = _new_jvm_obj(spark, "hllsparkjvm.HllUdfs", [])
     ju = None
     if factory is not None:
         try:
-            ju = factory.sketchEstimate()
+            ju = getattr(factory, method)()
         except Exception:
             ju = None
     if ju is None:
         raise RuntimeError(
-            "hllspark-udaf.jar with HllSketchEstimateUdf not loadable in this "
-            "session; create the session with hllspark.jvm_udaf.configure_builder "
-            "(round-5+ jar) or use hllspark.functions.hll_estimate (pandas)"
+            f"hllspark-udaf.jar with {klass} not loadable in this session; "
+            "create the session with hllspark.jvm_udaf.configure_builder "
+            f"(round-5+ jar) or use hllspark.{fallback} (pandas)"
         )
-    col = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
-    return _to_col(ju.apply(_col_seq(spark, [col])))
+    return _to_col(ju.apply(_col_seq(spark, cols)))
+
+
+def cm_query_col(spark: SparkSession, df, sketch_col: Column | str, value_col: str) -> Column:
+    """Per-row count-min frequency estimate of STORED sketches, entirely in
+    the JVM — the probe value (a column NAME in ``df``, so its SQL type
+    drives the same integral canonicalization as build time) is hashed with
+    ``agg.jvm_hash_expr`` and looked up by the Java UDF
+    (SketchReadUdfs.CountMinQuery; bit parity with functions.cm_query).
+
+    Hash-domain contract: serves hash_kind=1 (xxhash64 / JVM-built)
+    sketches ONLY — murmur-built sketches are refused loudly in the task,
+    because an xxhash64 probe would silently miss their cells.
+    ``functions.cm_query`` remains the universal reader (it re-hashes the
+    probe in whatever domain the sketch header declares)."""
+    from . import agg as _agg
+
+    return _read_udf_apply(
+        spark, "cmQuery", "SketchReadUdfs.CountMinQuery", "functions.cm_query",
+        [_as_col(sketch_col), _agg.jvm_hash_expr(df, value_col)],
+    )
+
+
+def bloom_contains_col(spark: SparkSession, df, sketch_col: Column | str, value_col: str) -> Column:
+    """Per-row bloom membership probe of STORED sketches in the JVM
+    (SketchReadUdfs.BloomContains) — same probe-hash and hash-domain
+    contract as cm_query_col; bit parity with functions.bloom_contains."""
+    from . import agg as _agg
+
+    return _read_udf_apply(
+        spark, "bloomContains", "SketchReadUdfs.BloomContains", "functions.bloom_contains",
+        [_as_col(sketch_col), _agg.jvm_hash_expr(df, value_col)],
+    )
+
+
+def tdigest_quantile_col(spark: SparkSession, sketch_col: Column | str, q: Column | float) -> Column:
+    """Per-row t-digest quantile over STORED canonical digests in the JVM
+    (SketchReadUdfs.TDigestQuantile) — replicates functions.tdigest_quantile
+    bit-exactly (sequential cumsum + searchsorted-left + the same
+    interpolation operation order; no transcendental calls)."""
+    qc = q if isinstance(q, Column) else F.lit(float(q))
+    return _read_udf_apply(
+        spark, "tdigestQuantile", "SketchReadUdfs.TDigestQuantile", "functions.tdigest_quantile",
+        [_as_col(sketch_col), qc.cast("double")],
+    )
+
+
+def tdigest_rank_col(spark: SparkSession, sketch_col: Column | str, x: Column | float) -> Column:
+    """Per-row approximate CDF over STORED canonical digests in the JVM
+    (SketchReadUdfs.TDigestRank) — replicates functions.tdigest_rank's
+    np.interp formula bit-exactly."""
+    xc = x if isinstance(x, Column) else F.lit(float(x))
+    return _read_udf_apply(
+        spark, "tdigestRank", "SketchReadUdfs.TDigestRank", "functions.tdigest_rank",
+        [_as_col(sketch_col), xc.cast("double")],
+    )
+
+
+def kll_quantile_col(spark: SparkSession, sketch_col: Column | str, q: Column | float) -> Column:
+    """Per-row KLL quantile over STORED canonical sketches in the JVM
+    (SketchReadUdfs.KllQuantile) — replicates functions.kll_quantile
+    (stable weighted sort + searchsorted-left item selection) bit-exactly."""
+    qc = q if isinstance(q, Column) else F.lit(float(q))
+    return _read_udf_apply(
+        spark, "kllQuantile", "SketchReadUdfs.KllQuantile", "functions.kll_quantile",
+        [_as_col(sketch_col), qc.cast("double")],
+    )
+
+
+def minhash_jaccard_col(spark: SparkSession, a: Column | str, b: Column | str) -> Column:
+    """Per-row jaccard between two STORED minhash signature columns in the
+    JVM (SketchReadUdfs.MinHashJaccard) — bit parity with
+    functions.minhash_jaccard, including the k / hash-kind refusals."""
+    return _read_udf_apply(
+        spark, "minhashJaccard", "SketchReadUdfs.MinHashJaccard", "functions.minhash_jaccard",
+        [_as_col(a), _as_col(b)],
+    )
 
 
 def _blob_to_hll(buf):

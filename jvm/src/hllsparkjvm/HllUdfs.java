@@ -30,4 +30,34 @@ public final class HllUdfs implements java.io.Serializable {
   public UserDefinedFunction sketchEstimate() {
     return functions.udf(new HllSketchEstimateUdf(), DataTypes.DoubleType);
   }
+
+  /** (countmin blob, xxhash64 probe) → frequency estimate. */
+  public UserDefinedFunction cmQuery() {
+    return functions.udf(new SketchReadUdfs.CountMinQuery(), DataTypes.LongType);
+  }
+
+  /** (bloom blob, xxhash64 probe) → membership. */
+  public UserDefinedFunction bloomContains() {
+    return functions.udf(new SketchReadUdfs.BloomContains(), DataTypes.BooleanType);
+  }
+
+  /** (minhash blob, minhash blob) → jaccard estimate. */
+  public UserDefinedFunction minhashJaccard() {
+    return functions.udf(new SketchReadUdfs.MinHashJaccard(), DataTypes.DoubleType);
+  }
+
+  /** (tdigest blob, q) → quantile value. */
+  public UserDefinedFunction tdigestQuantile() {
+    return functions.udf(new SketchReadUdfs.TDigestQuantile(), DataTypes.DoubleType);
+  }
+
+  /** (tdigest blob, x) → approximate CDF. */
+  public UserDefinedFunction tdigestRank() {
+    return functions.udf(new SketchReadUdfs.TDigestRank(), DataTypes.DoubleType);
+  }
+
+  /** (kll blob, q) → quantile value. */
+  public UserDefinedFunction kllQuantile() {
+    return functions.udf(new SketchReadUdfs.KllQuantile(), DataTypes.DoubleType);
+  }
 }
