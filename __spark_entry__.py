@@ -847,6 +847,97 @@ def q_reagg_stored_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_read_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 per-row READ path over a stored sketch-rollup table
+    (SketchReadUdfs + HllSketchEstimateUdf, jvm/src): one rollup row per
+    l_returnflag carries count-min / t-digest / HLL sketches, then every
+    check runs against the stored blobs entirely in the JVM — frequency
+    point-queries for suppkeys 1..3 (inside the count-min 3ε envelope over
+    the exact counts), the distinct-orderkey estimate (inside the b=14
+    envelope), and the p50 extendedprice (exact rank within 2%).  Falls
+    back to the pandas readers without the jar — identical results by the
+    bit-parity contract (tests/test_jvm_read_udfs.py)."""
+    from hllspark import agg
+    from hllspark import functions as hfn
+
+    li = _read(spark, sf_dir, "lineitem")
+    use_jvm = False
+    if agg._udaf_available(spark):
+        try:
+            from hllspark import jvm_udaf as ju
+
+            cm = ju.countmin_jvm_udaf(li, "l_suppkey", ["l_returnflag"], width=4096, depth=5)
+            td = ju.tdigest_jvm_udaf(li, "l_extendedprice", ["l_returnflag"])
+            # probe BOTH read-UDF families for version skew (round-3/4 jars
+            # pass the aggregator probe but lack the scalar read classes)
+            ju.minhash_jaccard_col(spark, F.lit(None).cast("binary"), F.lit(None).cast("binary"))
+            ju.hll_estimate_col(spark, F.lit(None).cast("binary"))
+            use_jvm = True
+        except RuntimeError:
+            use_jvm = False
+    if not use_jvm:
+        from hllspark.sketches.jvm import countmin_jvm, tdigest_jvm
+
+        cm = countmin_jvm(li, "l_suppkey", ["l_returnflag"], width=4096, depth=5)
+        td = tdigest_jvm(li, "l_extendedprice", ["l_returnflag"])
+    hl = agg.sketch(li, "l_orderkey", by=["l_returnflag"])
+    rollup = (
+        cm.select("l_returnflag", F.col("sketch").alias("cm"))
+        .join(td.select("l_returnflag", F.col("sketch").alias("td")), "l_returnflag")
+        .join(hl.select("l_returnflag", F.col("sketch").alias("hll")), "l_returnflag")
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"), F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    probes = (
+        li.where(F.col("l_suppkey") <= 3)
+        .groupBy("l_returnflag", "l_suppkey")
+        .agg(F.count("*").alias("exact_freq"))
+    )
+    j = rollup.join(probes, "l_returnflag").join(stats, "l_returnflag")
+    if use_jvm:
+        freq = ju.cm_query_col(spark, j, "cm", "l_suppkey")
+        est = ju.hll_estimate_col(spark, F.col("hll"))
+        p50 = ju.tdigest_quantile_col(spark, "td", 0.5)
+    else:
+        freq = hfn.cm_query(F.col("cm"), F.col("l_suppkey"))
+        est = hfn.hll_estimate(F.col("hll"))
+        p50 = hfn.tdigest_quantile(F.col("td"), F.lit(0.5))
+    eps3 = 3.0 * math.e / 4096.0  # 3× count-min ε, scaled by group rows below
+    per_probe = j.select(
+        "l_returnflag", "exact_freq", "exact_distinct", "n_rows",
+        freq.alias("freq"), est.alias("est"), p50.alias("p50"),
+    )
+    checked = per_probe.groupBy("l_returnflag").agg(
+        F.first("exact_distinct").alias("exact_distinct_orderkey"),
+        F.bool_and(
+            (F.col("freq") >= F.col("exact_freq"))
+            & (F.col("freq") <= F.col("exact_freq") + F.lit(eps3) * F.col("n_rows"))
+        ).alias("freq_ok"),
+        F.bool_and(
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= F.lit(MARGIN * BOUND_B14) * F.col("exact_distinct")
+        ).alias("distinct_ok"),
+        F.first("p50").alias("p50"),
+    )
+    rank = (
+        li.join(F.broadcast(checked.select("l_returnflag", "p50")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg((F.sum(F.when(F.col("l_extendedprice") <= F.col("p50"), 1).otherwise(0)) / F.count("*")).alias("r"))
+    )
+    return (
+        checked.join(rank, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_distinct_orderkey",
+            "freq_ok",
+            "distinct_ok",
+            (F.abs(F.col("r") - F.lit(0.5)) <= F.lit(0.02)).alias("p50_rank_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_sibling_merge_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 stored-blob merge for the SIBLING sketches
     (*BlobMergeAggregator classes via sketches.merge_stored): per-event-type
@@ -969,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_udaf": q_quantiles_udaf,
         "minhash_udaf": q_minhash_udaf,
         "reagg_stored_udaf": q_reagg_stored_udaf,
+        "rollup_read_udfs": q_rollup_read_udfs,
         "sibling_merge_udaf": q_sibling_merge_udaf,
         "estimate_compare_ops": q_estimate_compare_ops,
     }
@@ -1181,6 +1273,11 @@ def oracle_sql() -> dict[str, str]:
         "reagg_stored_udaf": (
             "SELECT count(DISTINCT o_custkey) AS exact_cnt, TRUE AS within_bound, "
             "TRUE AS udaf_matches_python FROM orders"
+        ),
+        "rollup_read_udfs": (
+            "SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct_orderkey, "
+            "TRUE AS freq_ok, TRUE AS distinct_ok, TRUE AS p50_rank_ok "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "sibling_merge_udaf": (
             "SELECT * FROM (VALUES ('bloom_merge_parity', TRUE), ('countmin_merge_parity', TRUE), "
