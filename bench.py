@@ -160,6 +160,20 @@ def headline_queries(spark, pages_path: str):
     def q_reagg_100k_stored_python():
         agg.merge_partials(stored.select("sketch"), engine="python").collect()
 
+    # per-row READ of the same stored rollup (hyperloglog_get_estimate / #
+    # over a 100k-sketch table): in-JVM scalar UDF (round 5, no Python
+    # stage) vs the pandas reader — same plan shape, sum() forces full
+    # evaluation without collecting 100k rows to the driver
+    def q_rollup_read_100k_jvm():
+        from hllspark import jvm_udaf as ju
+
+        stored.select(ju.hll_estimate_col(spark, "sketch").alias("est")).agg(F.sum("est")).collect()
+
+    def q_rollup_read_100k_pandas():
+        from hllspark import functions as hfn
+
+        stored.select(hfn.hll_estimate(F.col("sketch")).alias("est")).agg(F.sum("est")).collect()
+
     # continuous double column (distinct ≈ row count): the groupBy quantile
     # builder's value-count reduction degrades to shuffling one row per
     # distinct value; the udaf two-mode buffer stays bounded (round-3
@@ -208,6 +222,8 @@ def headline_queries(spark, pages_path: str):
         "highcard_grouped_100k_datasketches": q_highcard_grouped_100k_datasketches,
         "reagg_100k_stored_udaf": q_reagg_100k_stored_udaf,
         "reagg_100k_stored_python": q_reagg_100k_stored_python,
+        "rollup_read_100k_jvm": q_rollup_read_100k_jvm,
+        "rollup_read_100k_pandas": q_rollup_read_100k_pandas,
         "tdigest_continuous_udaf": q_tdigest_continuous_udaf,
         "tdigest_continuous_groupby": q_tdigest_continuous_groupby,
         "comparator_percentile_approx": q_comparator_percentile_approx,

@@ -416,6 +416,42 @@ def minhash_jaccard_col(spark: SparkSession, a: Column | str, b: Column | str) -
     )
 
 
+def register_sql_jvm(spark: SparkSession) -> None:
+    """Register the sketch-argument read UDFs for spark.sql(...) as
+    ``*_jvm`` names next to functions.register_sql's pandas surface:
+    hll_estimate_jvm, tdigest_quantile_jvm, tdigest_rank_jvm,
+    kll_quantile_jvm, minhash_jaccard_jvm.
+
+    The PROBING readers (count-min point query, bloom membership) are
+    deliberately NOT SQL-registered: their probe argument must be hashed
+    with jvm_hash_expr's TYPE-dependent canonicalization, which a raw SQL
+    call site can't see — use cm_query_col / bloom_contains_col from
+    Python, or the SQL-registered pandas cm_query / bloom_contains, which
+    re-hash the probe safely from the sketch header.
+
+    EXPLICIT-engine semantics: RuntimeError when the jar isn't resolvable
+    by the driver's class loader (spark.jars / --jars; the runtime ADD JAR
+    fallback can't serve registerJavaFunction)."""
+    from pyspark.sql.types import DoubleType
+
+    names = {
+        "hll_estimate_jvm": "hllsparkjvm.HllSketchEstimateUdf",
+        "tdigest_quantile_jvm": "hllsparkjvm.SketchReadUdfs$TDigestQuantile",
+        "tdigest_rank_jvm": "hllsparkjvm.SketchReadUdfs$TDigestRank",
+        "kll_quantile_jvm": "hllsparkjvm.SketchReadUdfs$KllQuantile",
+        "minhash_jaccard_jvm": "hllsparkjvm.SketchReadUdfs$MinHashJaccard",
+    }
+    try:
+        for name, cls in names.items():
+            spark.udf.registerJavaFunction(name, cls, DoubleType())
+    except Exception:
+        raise RuntimeError(
+            "hllspark-udaf.jar classes not resolvable for SQL registration; "
+            "put the jar on spark.jars/--jars (hllspark.configure_session does) "
+            "or use functions.register_sql's pandas surface"
+        ) from None
+
+
 def _blob_to_hll(buf):
     """Rebuild the exact core.hll.HLL state from the aggregator's blob
     (v1: HllRegisterAggregator.finish — pre-hashed build path, hash_kind is

@@ -191,14 +191,15 @@ public final class SketchReadUdfs {
   }
 
   /** TDigest.quantile: interpolation over centroid centers. */
-  public static final class TDigestQuantile implements UDF2<byte[], Double, Double> {
+  public static final class TDigestQuantile implements UDF2<byte[], Object, Double> {
     private static final long serialVersionUID = 1L;
 
     public TDigestQuantile() {}
 
     @Override
-    public Double call(byte[] blob, Double q) {
-      if (blob == null || q == null) return null;
+    public Double call(byte[] blob, Object qArg) {
+      if (blob == null || qArg == null) return null;
+      double q = ((Number) qArg).doubleValue(); // SQL literals arrive as BigDecimal
       Td td = Td.decode(blob);
       if (td.total == 0) return Double.NaN;
       if (q <= 0) return td.vmin;
@@ -237,14 +238,15 @@ public final class SketchReadUdfs {
    *  Replicates numpy's slope formula on the interval found by
    *  largest-j-with-xp[j]<=x, including the NaN rescue for degenerate
    *  intervals. */
-  public static final class TDigestRank implements UDF2<byte[], Double, Double> {
+  public static final class TDigestRank implements UDF2<byte[], Object, Double> {
     private static final long serialVersionUID = 1L;
 
     public TDigestRank() {}
 
     @Override
-    public Double call(byte[] blob, Double x) {
-      if (blob == null || x == null) return null;
+    public Double call(byte[] blob, Object xArg) {
+      if (blob == null || xArg == null) return null;
+      double x = ((Number) xArg).doubleValue(); // SQL literals arrive as BigDecimal
       Td td = Td.decode(blob);
       if (td.total == 0) return Double.NaN;
       if (x <= td.vmin) return 0.0;
@@ -292,14 +294,15 @@ public final class SketchReadUdfs {
    *  numpy argsort semantics: -0.0 == 0.0 keep input order, NaN sorts
    *  last.  Weight sums are exact powers of two, so cumsum order is
    *  irrelevant to parity. */
-  public static final class KllQuantile implements UDF2<byte[], Double, Double> {
+  public static final class KllQuantile implements UDF2<byte[], Object, Double> {
     private static final long serialVersionUID = 1L;
 
     public KllQuantile() {}
 
     @Override
-    public Double call(byte[] blob, Double q) {
-      if (blob == null || q == null) return null;
+    public Double call(byte[] blob, Object qArg) {
+      if (blob == null || qArg == null) return null;
+      double q = ((Number) qArg).doubleValue(); // SQL literals arrive as BigDecimal
       ByteBuffer bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN);
       int version = bb.get() & 0xff;
       bb.get(); // pad

@@ -201,6 +201,37 @@ def test_read_plan_is_all_jvm(read_spark, tmp_path):
         assert q.count() > 0
 
 
+def test_register_sql_jvm(read_spark):
+    """The *_jvm SQL names run the same Java UDFs: results equal the
+    registered pandas surface on the same stored sketches."""
+    from hllspark.functions import register_sql
+
+    spark = read_spark
+    try:
+        ju.register_sql_jvm(spark)
+    except RuntimeError:
+        pytest.skip("jar not on driver classpath (ADD JAR session)")
+    register_sql(spark)
+    df = spark.range(5_000).select((F.col("id") % 3).alias("g"), (F.col("id") % 400).cast("double").alias("x"))
+    td = ju.tdigest_jvm_udaf(df, "x", ["g"])
+    td.createOrReplaceTempView("td_rollup")
+    rows = spark.sql(
+        "SELECT g, tdigest_quantile_jvm(sketch, 0.5) AS jv, tdigest_quantile(sketch, 0.5) AS pv, "
+        "tdigest_rank_jvm(sketch, 100.0) AS jr, tdigest_rank(sketch, 100.0) AS pr FROM td_rollup"
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert _eq(r["jv"], r["pv"]) and _eq(r["jr"], r["pr"])
+
+    hl = __import__("hllspark").agg.sketch(df, "x", by=["g"])
+    hl.createOrReplaceTempView("hll_rollup")
+    rows = spark.sql(
+        "SELECT hll_estimate_jvm(sketch) AS jv, hll_estimate(sketch) AS pv FROM hll_rollup"
+    ).collect()
+    for r in rows:
+        assert r["jv"] is not None and abs(r["jv"] - r["pv"]) <= 1e-9 * max(1.0, abs(r["pv"]))
+
+
 def test_read_udfs_no_jar_is_loud(read_spark, monkeypatch):
     monkeypatch.setattr(ju, "_new_jvm_obj", lambda *a, **k: None)
     with pytest.raises(RuntimeError, match="SketchReadUdfs.KllQuantile"):
