@@ -938,6 +938,70 @@ def q_rollup_read_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_setops_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 pairwise set-operation READ path over stored counters
+    (HllSetOpUdfs, jvm/src): the custkey sets of URGENT vs HIGH orders as
+    two stored sketches, then union / intersection / compliment /
+    symmetric-diff estimates computed entirely in the JVM
+    (reference postgres.sql:131-160, hyperloglog_counter.c:1051-1193) and
+    checked against EXACT inclusion–exclusion counts — each estimate's
+    envelope is the b=14 bound scaled by the set sizes that contribute
+    error terms to it.  Falls back to the pandas set-op UDFs without the
+    jar — identical by the parity contract (tests/test_jvm_read_udfs.py)."""
+    from hllspark import agg
+    from hllspark import functions as hfn
+
+    orders = _read(spark, sf_dir, "orders")
+    seg = orders.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    sk = agg.sketch(seg, "o_custkey", by=["o_orderpriority"])
+    pair = (
+        sk.where(F.col("o_orderpriority") == "1-URGENT").select(F.col("sketch").alias("ca"))
+        .crossJoin(sk.where(F.col("o_orderpriority") == "2-HIGH").select(F.col("sketch").alias("cb")))
+    )
+    use_jvm = False
+    if agg._udaf_available(spark):
+        try:
+            from hllspark import jvm_udaf as ju
+
+            ju.hll_union_estimate_col(spark, F.lit(None).cast("binary"), F.lit(None).cast("binary"))
+            use_jvm = True
+        except RuntimeError:
+            use_jvm = False
+    if use_jvm:
+        u = ju.hll_union_estimate_col(spark, "ca", "cb")
+        i = ju.hll_intersection_col(spark, "ca", "cb")
+        c = ju.hll_compliment_col(spark, "ca", "cb")
+        s = ju.hll_symmetric_diff_col(spark, "ca", "cb")
+    else:
+        u = hfn.hll_union_estimate(F.col("ca"), F.col("cb"))
+        i = hfn.hll_intersection(F.col("ca"), F.col("cb"))
+        c = hfn.hll_compliment(F.col("ca"), F.col("cb"))
+        s = hfn.hll_symmetric_diff(F.col("ca"), F.col("cb"))
+    est = pair.select(u.alias("u"), i.alias("i"), c.alias("c"), s.alias("s"))
+    exact = seg.agg(
+        F.countDistinct(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("o_orderpriority") == "2-HIGH", F.col("o_custkey"))
+        ).alias("exact_b"),
+        F.countDistinct("o_custkey").alias("exact_union"),
+    )
+    bound = F.lit(MARGIN * BOUND_B14)
+    ea, eb, eu = F.col("exact_a"), F.col("exact_b"), F.col("exact_union")
+    ei = ea + eb - eu  # exact |A∩B| by inclusion–exclusion on exact counts
+    return est.crossJoin(exact).select(
+        ea.alias("exact_a"),
+        eb.alias("exact_b"),
+        eu.alias("exact_union"),
+        ei.alias("exact_inter"),
+        (F.abs(F.col("u") - eu) <= bound * eu).alias("union_ok"),
+        (F.abs(F.col("i") - ei) <= bound * (ea + eb + eu)).alias("inter_ok"),
+        (F.abs(F.col("c") - (eu - eb)) <= bound * (eu + eb)).alias("comp_ok"),
+        (F.abs(F.col("s") - (F.lit(2) * eu - ea - eb)) <= bound * (F.lit(2) * eu + ea + eb)).alias("sym_ok"),
+    )
+
+
 def q_sibling_merge_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 stored-blob merge for the SIBLING sketches
     (*BlobMergeAggregator classes via sketches.merge_stored): per-event-type
@@ -1061,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_udaf": q_minhash_udaf,
         "reagg_stored_udaf": q_reagg_stored_udaf,
         "rollup_read_udfs": q_rollup_read_udfs,
+        "setops_jvm": q_setops_jvm,
         "sibling_merge_udaf": q_sibling_merge_udaf,
         "estimate_compare_ops": q_estimate_compare_ops,
     }
@@ -1278,6 +1343,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct_orderkey, "
             "TRUE AS freq_ok, TRUE AS distinct_ok, TRUE AS p50_rank_ok "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        # exact set cardinalities independently; the *_ok booleans assert the
+        # in-JVM inclusion–exclusion estimates sit inside the b=14 envelopes
+        "setops_jvm": (
+            "WITH e AS (SELECT "
+            "count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) AS exact_a, "
+            "count(DISTINCT CASE WHEN o_orderpriority = '2-HIGH' THEN o_custkey END) AS exact_b, "
+            "count(DISTINCT o_custkey) AS exact_union "
+            "FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) "
+            "SELECT exact_a, exact_b, exact_union, "
+            "exact_a + exact_b - exact_union AS exact_inter, "
+            "TRUE AS union_ok, TRUE AS inter_ok, TRUE AS comp_ok, TRUE AS sym_ok FROM e"
         ),
         "sibling_merge_udaf": (
             "SELECT * FROM (VALUES ('bloom_merge_parity', TRUE), ('countmin_merge_parity', TRUE), "

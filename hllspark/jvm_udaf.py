@@ -416,11 +416,64 @@ def minhash_jaccard_col(spark: SparkSession, a: Column | str, b: Column | str) -
     )
 
 
+def hll_union_estimate_col(spark: SparkSession, a: Column | str, b: Column | str) -> Column:
+    """Per-row union estimate est(A∪B) of two STORED counter columns in the
+    JVM (HllSetOpUdfs.UnionEstimate) — the ``hyperloglog_union`` read path
+    (reference postgres.sql:131-136) over sketch rollup tables without a
+    pandas decode per row.  Decode/merge reuse HllMergeAggregator.mergeBlob,
+    so every canonical v1/v2 payload form is accepted and parameter- or
+    hash-kind-mismatched operands refuse loudly, exactly like the merge
+    aggregator.  Estimate parity contract as hll_estimate_col (StrictMath
+    ≤1 ulp in the linear-counting regimes only).  NULL contract matches
+    functions.hll_union_estimate: one NULL operand → estimate of the other,
+    both NULL → NULL."""
+    return _read_udf_apply(
+        spark, "unionEstimate", "HllSetOpUdfs.UnionEstimate", "functions.hll_union_estimate",
+        [_as_col(a), _as_col(b)],
+    )
+
+
+def hll_intersection_col(spark: SparkSession, a: Column | str, b: Column | str) -> Column:
+    """Per-row inclusion–exclusion intersection estimate
+    est(A) + est(B) − est(A∪B) in the JVM (HllSetOpUdfs.IntersectionEstimate;
+    reference hyperloglog_counter.c:1089-1113) — same decode/parity/refusal
+    contract as hll_union_estimate_col; the double arithmetic replays
+    core.hll.intersection_estimate's operation order exactly.  NULL contract
+    matches functions.hll_intersection: one NULL operand → 0.0 (empty set),
+    both NULL → NULL."""
+    return _read_udf_apply(
+        spark, "intersectionEstimate", "HllSetOpUdfs.IntersectionEstimate",
+        "functions.hll_intersection", [_as_col(a), _as_col(b)],
+    )
+
+
+def hll_compliment_col(spark: SparkSession, a: Column | str, b: Column | str) -> Column:
+    """Per-row difference estimate est(A∪B) − est(B) in the JVM
+    (HllSetOpUdfs.ComplimentEstimate; reference spelling,
+    hyperloglog_counter.c:1115-1152) — contract as hll_intersection_col."""
+    return _read_udf_apply(
+        spark, "complimentEstimate", "HllSetOpUdfs.ComplimentEstimate",
+        "functions.hll_compliment", [_as_col(a), _as_col(b)],
+    )
+
+
+def hll_symmetric_diff_col(spark: SparkSession, a: Column | str, b: Column | str) -> Column:
+    """Per-row symmetric-difference estimate 2·est(A∪B) − est(A) − est(B) in
+    the JVM (HllSetOpUdfs.SymmetricDiffEstimate; reference
+    hyperloglog_counter.c:1154-1193) — contract as hll_intersection_col."""
+    return _read_udf_apply(
+        spark, "symmetricDiffEstimate", "HllSetOpUdfs.SymmetricDiffEstimate",
+        "functions.hll_symmetric_diff", [_as_col(a), _as_col(b)],
+    )
+
+
 def register_sql_jvm(spark: SparkSession) -> None:
     """Register the sketch-argument read UDFs for spark.sql(...) as
     ``*_jvm`` names next to functions.register_sql's pandas surface:
     hll_estimate_jvm, tdigest_quantile_jvm, tdigest_rank_jvm,
-    kll_quantile_jvm, minhash_jaccard_jvm.
+    kll_quantile_jvm, minhash_jaccard_jvm, and the pairwise set-operation
+    estimates hll_union_estimate_jvm / hll_intersection_jvm /
+    hll_compliment_jvm / hll_symmetric_diff_jvm.
 
     The PROBING readers (count-min point query, bloom membership) are
     deliberately NOT SQL-registered: their probe argument must be hashed
@@ -440,6 +493,10 @@ def register_sql_jvm(spark: SparkSession) -> None:
         "tdigest_rank_jvm": "hllsparkjvm.SketchReadUdfs$TDigestRank",
         "kll_quantile_jvm": "hllsparkjvm.SketchReadUdfs$KllQuantile",
         "minhash_jaccard_jvm": "hllsparkjvm.SketchReadUdfs$MinHashJaccard",
+        "hll_union_estimate_jvm": "hllsparkjvm.HllSetOpUdfs$UnionEstimate",
+        "hll_intersection_jvm": "hllsparkjvm.HllSetOpUdfs$IntersectionEstimate",
+        "hll_compliment_jvm": "hllsparkjvm.HllSetOpUdfs$ComplimentEstimate",
+        "hll_symmetric_diff_jvm": "hllsparkjvm.HllSetOpUdfs$SymmetricDiffEstimate",
     }
     try:
         for name, cls in names.items():

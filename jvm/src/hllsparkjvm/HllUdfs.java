@@ -60,4 +60,24 @@ public final class HllUdfs implements java.io.Serializable {
   public UserDefinedFunction kllQuantile() {
     return functions.udf(new SketchReadUdfs.KllQuantile(), DataTypes.DoubleType);
   }
+
+  /** (counter, counter) → est(A∪B). */
+  public UserDefinedFunction unionEstimate() {
+    return functions.udf(new HllSetOpUdfs.UnionEstimate(), DataTypes.DoubleType);
+  }
+
+  /** (counter, counter) → est(A) + est(B) − est(A∪B). */
+  public UserDefinedFunction intersectionEstimate() {
+    return functions.udf(new HllSetOpUdfs.IntersectionEstimate(), DataTypes.DoubleType);
+  }
+
+  /** (counter, counter) → est(A∪B) − est(B). */
+  public UserDefinedFunction complimentEstimate() {
+    return functions.udf(new HllSetOpUdfs.ComplimentEstimate(), DataTypes.DoubleType);
+  }
+
+  /** (counter, counter) → 2·est(A∪B) − est(A) − est(B). */
+  public UserDefinedFunction symmetricDiffEstimate() {
+    return functions.udf(new HllSetOpUdfs.SymmetricDiffEstimate(), DataTypes.DoubleType);
+  }
 }

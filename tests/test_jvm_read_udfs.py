@@ -232,6 +232,129 @@ def test_register_sql_jvm(read_spark):
         assert r["jv"] is not None and abs(r["jv"] - r["pv"]) <= 1e-9 * max(1.0, abs(r["pv"]))
 
 
+@pytest.fixture(scope="module")
+def setop_spark(read_spark):
+    try:
+        ju.hll_union_estimate_col(read_spark, F.lit(None).cast("binary"), F.lit(None).cast("binary"))
+    except RuntimeError:
+        pytest.skip("jar predates HllSetOpUdfs (version skew)")
+    return read_spark
+
+
+def _setop_rollup(spark):
+    """Two stored-counter columns per row covering every operand shape:
+    sparse×sparse, dense×dense, sparse×dense — with real overlap so
+    intersection/compliment/symmetric-diff are non-trivial."""
+    from hllspark import agg
+
+    df = spark.range(120_000).select(
+        F.when(F.col("id") % 4 == 0, "sp_small")  # ~150 uniques: sparse
+        .when(F.col("id") % 4 == 1, "dn_big")     # ~30k uniques: dense
+        .otherwise("dn_big2")
+        .alias("seg"),
+        F.when(F.col("id") % 4 == 0, F.col("id") % 150)
+        .otherwise(F.col("id") % 30_000)
+        .alias("v"),
+    )
+    rollup = agg.sketch(df, "v", by=["seg"])
+    a = rollup.select(F.col("seg").alias("sa"), F.col("sketch").alias("ca"))
+    b = rollup.select(F.col("seg").alias("sb"), F.col("sketch").alias("cb"))
+    return a.crossJoin(b)
+
+
+def test_setop_estimates_parity(setop_spark):
+    """Union/intersection/compliment/symmetric-diff estimates match the
+    pandas set-operation UDFs on every operand-shape pair (the estimator's
+    documented ≤1-ulp linear-counting latitude; bit-exact elsewhere)."""
+    import hllspark.functions as hf
+
+    spark = setop_spark
+    pairs = _setop_rollup(spark)
+    rows = pairs.select(
+        "sa", "sb",
+        ju.hll_union_estimate_col(spark, "ca", "cb").alias("ju"),
+        hf.hll_union_estimate(F.col("ca"), F.col("cb")).alias("pu"),
+        ju.hll_intersection_col(spark, "ca", "cb").alias("ji"),
+        hf.hll_intersection(F.col("ca"), F.col("cb")).alias("pi"),
+        ju.hll_compliment_col(spark, "ca", "cb").alias("jc"),
+        hf.hll_compliment(F.col("ca"), F.col("cb")).alias("pc"),
+        ju.hll_symmetric_diff_col(spark, "ca", "cb").alias("js"),
+        hf.hll_symmetric_diff(F.col("ca"), F.col("cb")).alias("ps"),
+    ).collect()
+    assert len(rows) == 9
+    for r in rows:
+        for jv, pv in ((r["ju"], r["pu"]), (r["ji"], r["pi"]), (r["jc"], r["pc"]), (r["js"], r["ps"])):
+            assert jv is not None and pv is not None
+            assert abs(jv - pv) <= 1e-9 * max(1.0, abs(pv)), r
+    # sanity: self-union ≈ self estimate, self-intersection > 0, self-symdiff ~ 0
+    diag = [r for r in rows if r["sa"] == r["sb"]]
+    assert len(diag) == 3
+    for r in diag:
+        assert r["ji"] > 0 and abs(r["js"]) < 1e-6 and abs(r["jc"]) < 1e-6
+
+
+def test_setop_null_contract(setop_spark):
+    """One NULL operand: union estimates the surviving side, the difference
+    forms give 0.0 (empty-set semantics); both NULL → SQL NULL — exactly
+    functions._pairwise(null_passthrough=True)."""
+    from hllspark import agg
+
+    spark = setop_spark
+    df = spark.range(1_000).select(F.lit("g").alias("g"), (F.col("id") % 500).alias("v"))
+    blob = bytes(agg.sketch(df, "v", by=["g"]).first()["sketch"])
+    pdf = spark.createDataFrame(
+        [(bytearray(blob), None), (None, bytearray(blob)), (None, None)], "ca binary, cb binary"
+    )
+    rows = pdf.select(
+        ju.hll_union_estimate_col(spark, "ca", "cb").alias("u"),
+        ju.hll_intersection_col(spark, "ca", "cb").alias("i"),
+        ju.hll_compliment_col(spark, "ca", "cb").alias("c"),
+        ju.hll_symmetric_diff_col(spark, "ca", "cb").alias("s"),
+    ).collect()
+    one_side = [r for r in rows[:2]]
+    for r in one_side:
+        assert r["u"] is not None and r["u"] > 400
+        assert r["i"] == 0.0 and r["c"] == 0.0 and r["s"] == 0.0
+    assert all(v is None for v in rows[2])
+
+
+def test_setop_param_mismatch_is_loud(setop_spark):
+    """b/binbits- or hash-kind-mismatched operands refuse exactly like the
+    stored-blob merge aggregator (no silent garbage estimate)."""
+    import pandas as pd
+
+    from hllspark.core.hll import HLL
+    from hllspark.functions import hash_series
+
+    spark = setop_spark
+    h = hash_series(pd.Series(np.arange(200)), "auto")
+    b12 = HLL.create(b=12)
+    b12.add_hashes(h)
+    b14 = HLL.create(b=14)
+    b14.add_hashes(h)
+    pdf = spark.createDataFrame(
+        [(bytearray(b12.to_bytes()), bytearray(b14.to_bytes()))], "ca binary, cb binary"
+    )
+    with pytest.raises(Exception, match="different parameters"):
+        pdf.select(ju.hll_union_estimate_col(spark, "ca", "cb").alias("e")).collect()
+
+
+def test_setop_plan_is_all_jvm(setop_spark, tmp_path):
+    """Rollup-table scan → pairwise set-op estimates: no Python stage."""
+    spark = setop_spark
+    pairs = _setop_rollup(spark)
+    pairs.write.parquet(str(tmp_path / "pairs"))
+    stored = spark.read.parquet(str(tmp_path / "pairs"))
+    q = stored.select(
+        "sa", "sb",
+        ju.hll_union_estimate_col(spark, "ca", "cb").alias("u"),
+        ju.hll_symmetric_diff_col(spark, "ca", "cb").alias("s"),
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert q.count() == 9
+
+
 def test_read_udfs_no_jar_is_loud(read_spark, monkeypatch):
     monkeypatch.setattr(ju, "_new_jvm_obj", lambda *a, **k: None)
     with pytest.raises(RuntimeError, match="SketchReadUdfs.KllQuantile"):
