@@ -174,6 +174,32 @@ def headline_queries(spark, pages_path: str):
 
         stored.select(hfn.hll_estimate(F.col("sketch")).alias("est")).agg(F.sum("est")).collect()
 
+    # pairwise set-operation estimates over the SAME stored rollup (the
+    # reference's hyperloglog_union read path at 100k pairs): each row
+    # decodes+merges two counters — in-JVM (HllSetOpUdfs, round 5) vs the
+    # pandas pairwise UDF.  The pairing join (dom ↔ dom+1) is materialized
+    # once OUTSIDE the timed region so both sides time pure decode+merge.
+    setop_dir = str(ROOT / "data" / "setop_bench_100k")
+    if not (ROOT / "data" / "setop_bench_100k" / "_SUCCESS").exists():
+        sa = stored.select(F.col("dom").alias("d"), F.col("sketch").alias("ca"))
+        sb = stored.select((F.col("dom") - 1).alias("d"), F.col("sketch").alias("cb"))
+        sa.join(sb, "d").write.mode("overwrite").parquet(setop_dir)
+    setop_pairs = spark.read.parquet(setop_dir)
+
+    def q_setop_union_100k_jvm():
+        from hllspark import jvm_udaf as ju
+
+        setop_pairs.select(
+            ju.hll_union_estimate_col(spark, "ca", "cb").alias("u")
+        ).agg(F.sum("u")).collect()
+
+    def q_setop_union_100k_pandas():
+        from hllspark import functions as hfn
+
+        setop_pairs.select(
+            hfn.hll_union_estimate(F.col("ca"), F.col("cb")).alias("u")
+        ).agg(F.sum("u")).collect()
+
     # continuous double column (distinct ≈ row count): the groupBy quantile
     # builder's value-count reduction degrades to shuffling one row per
     # distinct value; the udaf two-mode buffer stays bounded (round-3
@@ -224,6 +250,8 @@ def headline_queries(spark, pages_path: str):
         "reagg_100k_stored_python": q_reagg_100k_stored_python,
         "rollup_read_100k_jvm": q_rollup_read_100k_jvm,
         "rollup_read_100k_pandas": q_rollup_read_100k_pandas,
+        "setop_union_100k_jvm": q_setop_union_100k_jvm,
+        "setop_union_100k_pandas": q_setop_union_100k_pandas,
         "tdigest_continuous_udaf": q_tdigest_continuous_udaf,
         "tdigest_continuous_groupby": q_tdigest_continuous_groupby,
         "comparator_percentile_approx": q_comparator_percentile_approx,
