@@ -574,6 +574,38 @@ def q_compression_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "fixture string, nbytes long")
 
 
+def q_reference_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference v2 WIRE interop end-to-end on the Spark surface: murmur
+    sketches over the reference's own generate_series shapes exported as
+    current-version (v2) counters (hll_export_reference — the exact bytea
+    hyperloglog_in ingests), then re-imported (hll_import_reference).  The
+    exported counter's stored VARSIZE must equal the reference's own
+    compression.ref regression outputs EXACTLY — for the dense rows that
+    pins the PGLZ encoder (core/pglz.py replicates Postgres's
+    pglz_compress/strategy_always byte-for-byte, golden-tested against the
+    real compressed payloads inside the update.sql fixtures) — and the
+    re-import must restore the canonical sketch byte-identically."""
+    from hllspark import agg
+
+    _register(spark)
+    rows = []
+    for n in (1, 100, 500, 1000, 1020, 1021, 10000):
+        df = spark.range(1, n + 1).select(F.col("id").cast("int").alias("i"))
+        sk = agg.sketch(df, "i", input_type="int32", engine="python", jvm_prehash=False)
+        sk.createOrReplaceTempView("sk_ref_tmp")
+        r = spark.sql(
+            # +8: the reference's VARSIZE counts its 4-byte varlena plus
+            # sizeof(HLLData) struct-tail slack over our bytea payload
+            "SELECT hll_length(hll_export_reference(sketch)) + 8 AS ref_varsize, "
+            "hll_import_reference(hll_export_reference(sketch)) = sketch AS roundtrip_identical "
+            "FROM sk_ref_tmp"
+        ).first()
+        rows.append((f"n={n:06d}", int(r["ref_varsize"]), bool(r["roundtrip_identical"])))
+    return spark.createDataFrame(
+        rows, "fixture string, ref_varsize long, roundtrip_identical boolean"
+    )
+
+
 def q_null_group_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference NULL contract (hyperloglog_counter.c:511-513): a group whose
     every value is NULL estimates SQL NULL (not 0 / not an empty sketch)."""
@@ -1115,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "precision_sweep": q_precision_sweep,
         "compression_sizes": q_compression_sizes,
+        "reference_wire_roundtrip": q_reference_wire_roundtrip,
         "null_group_semantics": q_null_group_semantics,
         "multimodal_image_features": q_multimodal_image_features,
         "distinct_custkey_jvm_udaf": q_distinct_custkey_jvm_udaf,
@@ -1281,6 +1314,22 @@ def oracle_sql() -> dict[str, str]:
             "('n=001020', 2681), "
             "('n=001021', 1569)"
             ") AS t(fixture, nbytes)"
+        ),
+        # the reference's OWN regression outputs (compression.ref:
+        # length(hyperloglog_accum(generate_series)) of the stored compressed
+        # counter) — not invented literals; sparse rows pin group-varint
+        # byte-size parity, dense rows pin the PGLZ encoder's exact output
+        # size through real register payloads
+        "reference_wire_roundtrip": (
+            "SELECT * FROM (VALUES "
+            "('n=000001', CAST(20 AS BIGINT), TRUE), "
+            "('n=000100', 330, TRUE), "
+            "('n=000500', 1450, TRUE), "
+            "('n=001000', 2643, TRUE), "
+            "('n=001020', 2689, TRUE), "
+            "('n=001021', 2133, TRUE), "
+            "('n=010000', 6355, TRUE)"
+            ") AS t(fixture, ref_varsize, roundtrip_identical)"
         ),
         "null_group_semantics": (
             "WITH t AS (SELECT o_orderpriority, CASE WHEN o_orderpriority = '1-URGENT' "

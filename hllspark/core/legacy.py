@@ -113,6 +113,10 @@ def hll_from_reference_bytes(payload: bytes) -> HLL:
         # np.unique restores this library's canonical sorted-unique invariant
         enc = np.unique(np.frombuffer(data, dtype="<u4", count=idx).astype(np.uint32))
         return HLL(b, binbits, enc, None)
+    if version == 2:  # the CURRENT reference format — full codec in refformat
+        from .refformat import hll_from_reference_v2
+
+        return hll_from_reference_v2(payload)
     raise ValueError(f"unsupported legacy version {version}")
 
 

@@ -12,7 +12,10 @@ operators (sql/postgres.sql:43-330; see SURVEY.md §2.3-2.5):
 | hyperloglog_equal / = / <>             | hll_equal(a, b)                    |
 | length(c)                              | hll_length(sketch)                 |
 | hyperloglog_comp / hyperloglog_decomp  | hll_comp / hll_decomp              |
-| hyperloglog_update(c)                  | hll_update (accepts ref v0/v1)     |
+| hyperloglog_update(c)                  | hll_update (accepts ref v0/v1/v2)  |
+| hyperloglog_in/out (wire interop)      | hll_import_reference /             |
+|                                        | hll_export_reference (v2 bytea;    |
+|                                        | base64() for the text form)        |
 | hyperloglog_info(c)                    | hll_info(sketch) → json string     |
 | hyperloglog_accum(col) (agg)           | hll_sketch_agg(col) (GROUPED_AGG)  |
 | hyperloglog_merge(col) (agg)           | hll_merge_agg(sketch_col)          |
@@ -247,11 +250,41 @@ def hll_info_defaults() -> dict:
 @pandas_udf(BinaryType())
 def hll_update(sketch: pd.Series) -> pd.Series:
     """hyperloglog_update (postgres.sql:53-55, upgrade.c:24-60): accept this
-    library's own versions OR the reference extension's v0/v1 blobs (bytea
+    library's own versions OR the reference extension's v0/v1/v2 blobs (bytea
     content) and re-serialize canonically."""
     from .core.legacy import upgrade_bytes
 
     return sketch.map(lambda v: None if v is None else upgrade_bytes(bytes(v)))
+
+
+@pandas_udf(BinaryType())
+def hll_export_reference(sketch: pd.Series) -> pd.Series:
+    """Serialize canonical sketches as reference v2 counters — the exact
+    bytea payload the extension's hyperloglog_in() / a stored column expects
+    (base64-encode for the text form).  Compressed like the reference's own
+    stored counters (finalfunc hyperloglog_comp): sparse group-varint /
+    dense PGLZ with the keep-if-smaller fallbacks.  Refuses xxhash64-built
+    sketches — the reference hashes MurmurHash64A, and a cross-hash export
+    would poison merges Postgres-side (core/refformat.py)."""
+    from .core.refformat import to_reference_bytes
+
+    return sketch.map(
+        lambda v: None if v is None else to_reference_bytes(HLL.from_bytes(bytes(v)))
+    )
+
+
+@pandas_udf(BinaryType())
+def hll_import_reference(sketch: pd.Series) -> pd.Series:
+    """Decode reference counters (ANY version: v0/v1 upgrade formats or the
+    current v2 in every payload encoding — bit-packed / unpacked / PGLZ
+    dense, raw / group-varint sparse) into canonical sketches.  The inverse
+    of hll_export_reference; a stored reference rollup table becomes
+    directly queryable by every reader/merge path in this library."""
+    from .core.legacy import hll_from_reference_bytes
+
+    return sketch.map(
+        lambda v: None if v is None else hll_from_reference_bytes(bytes(v)).to_bytes()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -469,6 +502,8 @@ def register_sql(spark, b: int = DEFAULT_B, binbits: int = DEFAULT_BINBITS) -> N
     spark.udf.register("hll_comp", hll_comp)
     spark.udf.register("hll_decomp", hll_decomp)
     spark.udf.register("hll_update", hll_update)
+    spark.udf.register("hll_export_reference", hll_export_reference)
+    spark.udf.register("hll_import_reference", hll_import_reference)
     spark.udf.register("hll_info", hll_info)
     spark.udf.register("hll_sketch_agg", make_sketch_agg(b, binbits))
     spark.udf.register("hll_sketch_agg_int32", make_sketch_agg(b, binbits, input_type="int32"))
