@@ -10,6 +10,8 @@ import struct
 import numpy as np
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from hllspark.core.hash import hash_int32, hash_strings
 from hllspark.core.hll import HASH_XXHASH_SPARK, HLL
@@ -110,6 +112,34 @@ class TestPglz:
     def test_unknown_variant_rejected(self):
         with pytest.raises(ValueError):
             pglz_compress(b"abc", "pg96")
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.one_of(
+            st.binary(min_size=1, max_size=2000),
+            # low-entropy alphabets exercise long matches + history recycling
+            st.lists(st.sampled_from([0, 1, 7, 255]), min_size=1, max_size=6000).map(bytes),
+        ),
+        variant=st.sampled_from(["modern", "legacy"]),
+    )
+    def test_roundtrip_property(self, data, variant):
+        stream = pglz_compress(data, variant)
+        if stream is not None:
+            assert len(stream) < len(data)
+            assert pglz_decompress(stream, len(data)) == data
+
+
+class TestV2DecodeProperty:
+    @settings(max_examples=30, deadline=None)
+    @given(seed=st.integers(0, 2**31 - 1), n=st.integers(0, 1500))
+    def test_export_import_identity(self, seed, n):
+        rng = np.random.RandomState(seed)
+        h = HLL.create()
+        if n:
+            h.add_hashes(rng.randint(0, 2**63, size=n).astype(np.uint64))
+        for compress in (True, False):
+            blob = to_reference_bytes(h, compress=compress)
+            assert hll_from_reference_bytes(blob).to_bytes() == h.to_bytes()
 
 
 class TestGroupVarintRef:
