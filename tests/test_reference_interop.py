@@ -130,11 +130,16 @@ class TestPglz:
 
 
 class TestV2DecodeProperty:
-    @settings(max_examples=30, deadline=None)
-    @given(seed=st.integers(0, 2**31 - 1), n=st.integers(0, 1500))
-    def test_export_import_identity(self, seed, n):
+    @settings(max_examples=40, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n=st.integers(0, 1500),
+        b=st.integers(4, 16),
+        binbits=st.integers(4, 8),
+    )
+    def test_export_import_identity(self, seed, n, b, binbits):
         rng = np.random.RandomState(seed)
-        h = HLL.create()
+        h = HLL.create(b=b, binbits=binbits)
         if n:
             h.add_hashes(rng.randint(0, 2**63, size=n).astype(np.uint64))
         for compress in (True, False):
