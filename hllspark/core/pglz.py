@@ -10,7 +10,7 @@ the reference (core/refformat.py).
 
 This is a faithful replica of PostgreSQL's public ``pglz_compress``
 algorithm (history hash chains over a 4096-entry recycling window,
-good_match=128 / good_drop=10 for strategy_always, 12-bit offsets,
+good_match=128 / good_drop=6 for strategy_always, 12-bit offsets,
 3..273-byte matches, one control byte per 8 items).  PostgreSQL changed
 the history hash function once, so two variants are exposed:
 
@@ -89,19 +89,34 @@ def pglz_compress(data: bytes, variant: str = "modern") -> bytes | None:
     hist_next = 1
     recycle = False
 
+    # pglz_hist_idx reads through `const char *`: SIGNED on x86/x86-64
+    # Postgres builds, so bytes >= 0x80 sign-extend before the shifts/mask
+    # (two's-complement & mask, same in Python on negative ints).  We
+    # replicate the x86 behavior; a big-endian/ARM build (unsigned char)
+    # would bucket differently — C itself is platform-dependent here, and
+    # either choice emits a valid stream.  Unreachable for HLL registers
+    # (values <= ~64), but this module is public API.
+    sgn = [b - 256 if b >= 128 else b for b in range(256)]
+
     if legacy:
 
         def hist_hash(p: int) -> int:
             if slen - p < 4:
-                return src[p] & mask
-            return ((src[p] << 9) ^ (src[p + 1] << 6) ^ (src[p + 2] << 3) ^ src[p + 3]) & mask
+                return sgn[src[p]] & mask
+            return (
+                (sgn[src[p]] << 9) ^ (sgn[src[p + 1]] << 6) ^ (sgn[src[p + 2]] << 3)
+                ^ sgn[src[p + 3]]
+            ) & mask
 
     else:
 
         def hist_hash(p: int) -> int:
             if slen - p < 4:
-                return src[p] & mask
-            return ((src[p] << 6) ^ (src[p + 1] << 4) ^ (src[p + 2] << 2) ^ src[p + 3]) & mask
+                return sgn[src[p]] & mask
+            return (
+                (sgn[src[p]] << 6) ^ (sgn[src[p + 1]] << 4) ^ (sgn[src[p + 2]] << 2)
+                ^ sgn[src[p + 3]]
+            ) & mask
 
     def hist_add(p: int) -> None:
         nonlocal hist_next, recycle

@@ -36,12 +36,14 @@ import struct
 import numpy as np
 
 from .hll import HASH_MURMUR, MAX_INDEX_BITS, HLL
+# one source of truth for the shared v0/v1/v2 decode helpers and format
+# flags (legacy's own v2 dispatch imports this module lazily — no cycle)
+from .legacy import _FMT_UNPACKED, _dense_from, _dense_from_pglz
 from .pglz import pglz_compress
 
 _REF_HEADER = struct.Struct("<bBBBi")  # b, binbits, version, format, idx
 _REF_VERSION = 2
 _FMT_PACKED = 0
-_FMT_UNPACKED = (2, 3)  # UNPACKED / UNPACKED_UNPACKED (hyperloglog.h:61-64)
 
 
 # -- group-varint codec (reference interleaved layout) ----------------------
@@ -84,34 +86,68 @@ def encode_group_varint_ref(enc: np.ndarray) -> bytes:
     return head + bytes(tail)
 
 
+# total value bytes per tag byte: sum of the four 2-bit length fields + 4
+_TAG_BYTES = (
+    ((np.arange(256) >> 6) & 3)
+    + ((np.arange(256) >> 4) & 3)
+    + ((np.arange(256) >> 2) & 3)
+    + (np.arange(256) & 3)
+    + 4
+).astype(np.int64)
+
+
 def decode_group_varint_ref(payload: bytes, n: int) -> np.ndarray:
     """Inverse of encode_group_varint_ref (group_decode_sorted,
-    varint.h:1218-1247) → sorted uint32 encode list of length n."""
-    buf = bytes(payload)
-    vals = np.empty(n, dtype=np.uint64)
+    varint.h:1218-1247) → sorted uint32 encode list of length n.
+
+    Tag positions depend on previous groups' lengths, so one cheap loop
+    (a table lookup + add per GROUP) collects the tags; everything else —
+    per-value lengths, byte positions, little-endian assembly — is the same
+    vectorized gather core.hll.decompress_sparse uses, which keeps bulk
+    imports of stored reference rollups off the per-byte Python path."""
+    buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+    ngroups = n // 4
+    tags = np.empty(ngroups, dtype=np.uint8)
+    tag_bytes = _TAG_BYTES
     pos = 0
-    vi = 0
-    for _ in range(n // 4):
-        tag = buf[pos]
-        pos += 1
-        for shift in (6, 4, 2, 0):
-            ln = ((tag >> shift) & 3) + 1
-            vals[vi] = int.from_bytes(buf[pos : pos + ln], "little")
-            pos += ln
-            vi += 1
-    while vi < n:
+    for gi in range(ngroups):
+        t = buf[pos]
+        tags[gi] = t
+        pos += 1 + tag_bytes[t]
+    if ngroups:
+        l2 = np.empty(ngroups * 4, dtype=np.int64)
+        t64 = tags.astype(np.int64)
+        l2[0::4] = (t64 >> 6) & 3
+        l2[1::4] = (t64 >> 4) & 3
+        l2[2::4] = (t64 >> 2) & 3
+        l2[3::4] = t64 & 3
+        lens = l2 + 1
+        ends = np.cumsum(lens)
+        cs = ends - lens  # value bytes before value j across all groups
+        grp = np.arange(ngroups * 4, dtype=np.int64) // 4
+        starts = grp + 1 + cs  # mirror of the encoder's position formula
+        vals8 = np.zeros((ngroups * 4, 4), dtype=np.uint8)
+        for k in range(4):
+            m = lens > k
+            vals8[m, k] = buf[starts[m] + k]
+        d = vals8.view("<u4").ravel().astype(np.uint64)
+    else:
+        d = np.empty(0, dtype=np.uint64)
+    tail = []
+    for _ in range(n - ngroups * 4):
         v = 0
         s = 0
         while True:
-            byte = buf[pos]
+            byte = int(buf[pos])
             pos += 1
             v |= (byte & 0x7F) << s
             if not byte & 0x80:
                 break
             s += 7
-        vals[vi] = v
-        vi += 1
-    return np.cumsum(vals).astype(np.uint32)
+        tail.append(v)
+    if tail:
+        d = np.concatenate([d, np.array(tail, dtype=np.uint64)])
+    return np.cumsum(d).astype(np.uint32)
 
 
 # -- dense register packing (reference LSB-first bit order) -----------------
@@ -177,8 +213,6 @@ def to_reference_bytes(h: HLL, compress: bool = True, pglz_variant: str = "moder
 
 def hll_from_reference_v2(payload: bytes) -> HLL:
     """Decode a reference v2 counter (bytea content, varlena stripped)."""
-    from .legacy import _dense_from, _dense_from_pglz
-
     b = int.from_bytes(payload[0:1], "little", signed=True)
     binbits = payload[1]
     fmt = payload[3]
