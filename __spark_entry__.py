@@ -1034,6 +1034,62 @@ def q_setops_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (KMV) sketch set operations — the seventh sibling
+    (hllspark/sketches/theta.py), added BEYOND the reference because its
+    inclusion–exclusion set ops carry union-scale error while theta
+    intersects retained samples directly (error scales with the RESULT).
+    Same input shape as `setops_jvm` (URGENT vs HIGH custkey sets) so the
+    two approaches are directly comparable; theta's tighter bounds are the
+    point — at sf0.01 the sets are below k=4096, so the sketches are in
+    EXACT mode and every estimate equals the exact count, while at larger
+    sf the 8% envelopes still hold (~5σ at k=4096).  Built through
+    sketches.build's two-phase python engine (bounded per-partition state,
+    deterministic canonical form — tests/test_theta.py)."""
+    from hllspark import functions as hfn
+    from hllspark import sketches
+
+    orders = _read(spark, sf_dir, "orders")
+    seg = orders.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    sk = sketches.build(seg, "o_custkey", "theta", by=["o_orderpriority"], k=4096)
+    pair = (
+        sk.where(F.col("o_orderpriority") == "1-URGENT").select(F.col("sketch").alias("ca"))
+        .crossJoin(sk.where(F.col("o_orderpriority") == "2-HIGH").select(F.col("sketch").alias("cb")))
+    )
+    est = pair.select(
+        hfn.theta_estimate(F.col("ca")).alias("ta"),
+        hfn.theta_estimate(F.col("cb")).alias("tb"),
+        hfn.theta_union_estimate(F.col("ca"), F.col("cb")).alias("tu"),
+        hfn.theta_intersection(F.col("ca"), F.col("cb")).alias("ti"),
+        hfn.theta_a_not_b(F.col("ca"), F.col("cb")).alias("td"),
+        hfn.theta_jaccard(F.col("ca"), F.col("cb")).alias("tj"),
+    )
+    exact = seg.agg(
+        F.countDistinct(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("o_orderpriority") == "2-HIGH", F.col("o_custkey"))
+        ).alias("exact_b"),
+        F.countDistinct("o_custkey").alias("exact_union"),
+    )
+    ea, eb, eu = F.col("exact_a"), F.col("exact_b"), F.col("exact_union")
+    ei = ea + eb - eu
+    m = F.lit(0.08)
+    return est.crossJoin(exact).select(
+        ea.alias("exact_a"),
+        eb.alias("exact_b"),
+        eu.alias("exact_union"),
+        ei.alias("exact_inter"),
+        (F.abs(F.col("ta") - ea) <= m * ea).alias("est_a_ok"),
+        (F.abs(F.col("tb") - eb) <= m * eb).alias("est_b_ok"),
+        (F.abs(F.col("tu") - eu) <= m * eu).alias("union_ok"),
+        (F.abs(F.col("ti") - ei) <= m * ei).alias("inter_ok"),
+        (F.abs(F.col("td") - (ea - ei)) <= m * ea).alias("anb_ok"),
+        (F.abs(F.col("tj") - ei.cast("double") / eu) <= F.lit(0.05)).alias("jaccard_ok"),
+    )
+
+
 def q_sibling_merge_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 stored-blob merge for the SIBLING sketches
     (*BlobMergeAggregator classes via sketches.merge_stored): per-event-type
@@ -1159,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reagg_stored_udaf": q_reagg_stored_udaf,
         "rollup_read_udfs": q_rollup_read_udfs,
         "setops_jvm": q_setops_jvm,
+        "theta_setops": q_theta_setops,
         "sibling_merge_udaf": q_sibling_merge_udaf,
         "estimate_compare_ops": q_estimate_compare_ops,
     }
@@ -1404,6 +1461,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT exact_a, exact_b, exact_union, "
             "exact_a + exact_b - exact_union AS exact_inter, "
             "TRUE AS union_ok, TRUE AS inter_ok, TRUE AS comp_ok, TRUE AS sym_ok FROM e"
+        ),
+        # same exact counts as setops_jvm; theta's anb truth is ea - ei and
+        # jaccard truth ei/eu — all TRUE-bounded (exact-mode at sf0.01)
+        "theta_setops": (
+            "WITH e AS (SELECT "
+            "count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) AS exact_a, "
+            "count(DISTINCT CASE WHEN o_orderpriority = '2-HIGH' THEN o_custkey END) AS exact_b, "
+            "count(DISTINCT o_custkey) AS exact_union "
+            "FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) "
+            "SELECT exact_a, exact_b, exact_union, "
+            "exact_a + exact_b - exact_union AS exact_inter, "
+            "TRUE AS est_a_ok, TRUE AS est_b_ok, TRUE AS union_ok, "
+            "TRUE AS inter_ok, TRUE AS anb_ok, TRUE AS jaccard_ok FROM e"
         ),
         "sibling_merge_udaf": (
             "SELECT * FROM (VALUES ('bloom_merge_parity', TRUE), ('countmin_merge_parity', TRUE), "

@@ -257,6 +257,65 @@ def hll_update(sketch: pd.Series) -> pd.Series:
     return sketch.map(lambda v: None if v is None else upgrade_bytes(bytes(v)))
 
 
+def _theta_pairwise(a: pd.Series, b: pd.Series, fn) -> pd.Series:
+    """Pairwise theta-sketch op with the library's set-op NULL contract
+    (same as _pairwise: both NULL → NULL; one NULL → the survivor is passed
+    as x with y=None, so unions estimate the survivor and intersection/
+    difference forms yield 0.0)."""
+    from .sketches.theta import Theta
+
+    out = []
+    for x, y in zip(a, b):
+        if x is None and y is None:
+            out.append(None)
+        elif x is None or y is None:
+            out.append(fn(Theta.from_bytes(bytes(x if x is not None else y)), None))
+        else:
+            out.append(fn(Theta.from_bytes(bytes(x)), Theta.from_bytes(bytes(y))))
+    return pd.Series(out, dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def theta_estimate(sketch: pd.Series) -> pd.Series:
+    from .sketches.theta import Theta
+
+    return sketch.map(
+        lambda v: None if v is None else Theta.from_bytes(bytes(v)).estimate()
+    ).astype("float64")
+
+
+@pandas_udf(DoubleType())
+def theta_union_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+    def f(x, y):
+        return x.estimate() if y is None else x.union_estimate(y)
+
+    return _theta_pairwise(a, b, f)
+
+
+@pandas_udf(DoubleType())
+def theta_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
+    def f(x, y):
+        return 0.0 if y is None else x.intersection_estimate(y)
+
+    return _theta_pairwise(a, b, f)
+
+
+@pandas_udf(DoubleType())
+def theta_a_not_b(a: pd.Series, b: pd.Series) -> pd.Series:
+    def f(x, y):
+        return 0.0 if y is None else x.a_not_b_estimate(y)
+
+    return _theta_pairwise(a, b, f)
+
+
+@pandas_udf(DoubleType())
+def theta_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+    def f(x, y):
+        return 0.0 if y is None else x.jaccard_estimate(y)
+
+    return _theta_pairwise(a, b, f)
+
+
 @pandas_udf(BinaryType())
 def hll_export_reference(sketch: pd.Series) -> pd.Series:
     """Serialize canonical sketches as reference v2 counters — the exact
@@ -525,3 +584,13 @@ def register_sql(spark, b: int = DEFAULT_B, binbits: int = DEFAULT_BINBITS) -> N
     spark.udf.register("minhash_agg", make_generic_sketch_agg(lambda: MinHash.create(k=256)))
     spark.udf.register("minhash_merge_agg", make_generic_merge_agg(MinHash))
     spark.udf.register("minhash_jaccard", minhash_jaccard)
+    # theta (KMV) sketch: bounded-error set operations (see sketches/theta.py)
+    from .sketches import Theta
+
+    spark.udf.register("theta_agg", make_generic_sketch_agg(lambda: Theta.create(k=4096)))
+    spark.udf.register("theta_merge_agg", make_generic_merge_agg(Theta))
+    spark.udf.register("theta_estimate", theta_estimate)
+    spark.udf.register("theta_union_estimate", theta_union_estimate)
+    spark.udf.register("theta_intersection", theta_intersection)
+    spark.udf.register("theta_a_not_b", theta_a_not_b)
+    spark.udf.register("theta_jaccard", theta_jaccard)

@@ -8,6 +8,7 @@ from .countmin import CountMin  # noqa: F401
 from .kll import KLL  # noqa: F401
 from .minhash import MinHash  # noqa: F401
 from .tdigest import TDigest  # noqa: F401
+from .theta import Theta  # noqa: F401
 
 
 def build(df, value_col, kind, by=None, engine="auto", **params):

@@ -25,7 +25,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 
-_KINDS = ("countmin", "bloom", "minhash", "tdigest", "kll")
+_KINDS = ("countmin", "bloom", "minhash", "tdigest", "kll", "theta")
 
 
 def build(
@@ -44,8 +44,17 @@ def build(
     """
     if kind not in _KINDS:
         raise ValueError(f"unknown sketch kind {kind!r}; expected one of {_KINDS}")
+    if kind == "theta" and engine in ("jvm", "jvm_udaf"):
+        raise ValueError(
+            "theta sketches have no Catalyst/aggregate-buffer engine: "
+            "bounded per-group k-smallest isn't expressible as a groupBy "
+            "reduction without collect_set; use engine='python' (the "
+            "two-phase partial pipeline keeps per-partition state <= k)"
+        )
     auto = engine == "auto"
-    if auto:
+    if kind == "theta":
+        engine = "python"  # auto: the only (and scale-correct) engine
+    elif auto:
         from ..agg import _udaf_available
 
         engine = "jvm_udaf" if _udaf_available(df.sparkSession) else "jvm"
@@ -86,9 +95,10 @@ def build(
         from ..core.hll import HASH_XXHASH_SPARK
 
         params.pop("exact_capacity", None)
-        from . import KLL, Bloom, CountMin, MinHash, TDigest
+        from . import KLL, Bloom, CountMin, MinHash, TDigest, Theta
 
-        cls = {"countmin": CountMin, "bloom": Bloom, "minhash": MinHash, "tdigest": TDigest, "kll": KLL}[kind]
+        cls = {"countmin": CountMin, "bloom": Bloom, "minhash": MinHash,
+               "tdigest": TDigest, "kll": KLL, "theta": Theta}[kind]
         if kind in ("tdigest", "kll"):
             # quantile sketches ingest VALUES, not hashes — no prehash
             factory = lambda: cls.create(**params)  # noqa: E731
@@ -116,7 +126,11 @@ def merge_stored(
     if kind not in kinds:
         raise ValueError(f"unknown sketch kind {kind!r}; expected one of {kinds}")
     auto = engine == "auto"
-    if auto:
+    if kind == "theta":
+        if engine == "jvm_udaf":
+            raise ValueError("theta sketches have no blob-merge aggregate buffer; use engine='python'")
+        engine = "python"  # exact deterministic merge — byte parity trivially holds
+    elif auto:
         from ..agg import _udaf_available
 
         engine = "jvm_udaf" if _udaf_available(df.sparkSession) else "python"
@@ -139,7 +153,9 @@ def merge_stored(
         from ..core.hll import HLL
         from . import KLL, Bloom, CountMin, MinHash, TDigest
 
+        from . import Theta
+
         cls = {"hll": HLL, "countmin": CountMin, "bloom": Bloom,
-               "minhash": MinHash, "tdigest": TDigest, "kll": KLL}[kind]
+               "minhash": MinHash, "tdigest": TDigest, "kll": KLL, "theta": Theta}[kind]
         return merge_partials(df, by, sketch_col=sketch_col, cls=cls, engine="python")
     raise ValueError(f"unknown engine {engine!r}; expected auto/jvm_udaf/python")
