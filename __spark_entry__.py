@@ -1090,6 +1090,32 @@ def q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.shard_overlap end-to-end: pairwise distinct-value overlap
+    between corpus shards via per-shard theta sketches (one scan + an S×S
+    sketch cross-join).  Shards are two shifted range-assignments of
+    doc_id — every document belongs to two shards, adjacent shards share
+    half an assignment window — so the overlap structure is fully
+    derivable: the DuckDB oracle recomputes every pairwise intersection
+    and union EXACTLY from the same arithmetic (independent oracle, no
+    pinned literals).  At sf0.01 every shard is far below k=8192, so the
+    sketches are in exact mode and the estimates round to the exact
+    counts deterministically."""
+    from hllspark.pipeline import dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.floor(F.col("doc_id") / 200).alias("shard"), "doc_id")
+    b = docs.select(F.floor((F.col("doc_id") + 100) / 200).alias("shard"), "doc_id")
+    assign = a.unionByName(b)
+    ov = dedup.shard_overlap(assign, "shard", "doc_id", k=8192)
+    return ov.select(
+        "shard_a",
+        "shard_b",
+        F.round("inter_est").cast("long").alias("inter_cnt"),
+        F.round("union_est").cast("long").alias("union_cnt"),
+    ).orderBy("shard_a", "shard_b")
+
+
 def q_sibling_merge_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 stored-blob merge for the SIBLING sketches
     (*BlobMergeAggregator classes via sketches.merge_stored): per-event-type
@@ -1216,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_read_udfs": q_rollup_read_udfs,
         "setops_jvm": q_setops_jvm,
         "theta_setops": q_theta_setops,
+        "corpus_shard_overlap": q_corpus_shard_overlap,
         "sibling_merge_udaf": q_sibling_merge_udaf,
         "estimate_compare_ops": q_estimate_compare_ops,
     }
@@ -1474,6 +1501,24 @@ def oracle_sql() -> dict[str, str]:
             "exact_a + exact_b - exact_union AS exact_inter, "
             "TRUE AS est_a_ok, TRUE AS est_b_ok, TRUE AS union_ok, "
             "TRUE AS inter_ok, TRUE AS anb_ok, TRUE AS jaccard_ok FROM e"
+        ),
+        # fully independent: the oracle re-derives every pairwise overlap
+        # from the same shifted range-sharding arithmetic — exact counts,
+        # which the exact-mode theta estimates must round to
+        "corpus_shard_overlap": (
+            "WITH d AS ("
+            "SELECT CAST(floor(doc_id / 200) AS BIGINT) AS shard, doc_id FROM documents "
+            "UNION "
+            "SELECT CAST(floor((doc_id + 100) / 200) AS BIGINT) AS shard, doc_id FROM documents), "
+            "shards AS (SELECT DISTINCT shard FROM d), "
+            "pairs AS (SELECT a.shard AS sa, b.shard AS sb FROM shards a, shards b WHERE a.shard < b.shard), "
+            "inter AS (SELECT x.shard AS sa, y.shard AS sb, count(*) AS c "
+            "FROM d x JOIN d y ON x.doc_id = y.doc_id AND x.shard < y.shard GROUP BY 1, 2) "
+            "SELECT p.sa AS shard_a, p.sb AS shard_b, "
+            "CAST(COALESCE(i.c, 0) AS BIGINT) AS inter_cnt, "
+            "(SELECT count(DISTINCT doc_id) FROM d WHERE shard IN (p.sa, p.sb)) AS union_cnt "
+            "FROM pairs p LEFT JOIN inter i ON p.sa = i.sa AND p.sb = i.sb "
+            "ORDER BY shard_a, shard_b"
         ),
         "sibling_merge_udaf": (
             "SELECT * FROM (VALUES ('bloom_merge_parity', TRUE), ('countmin_merge_parity', TRUE), "

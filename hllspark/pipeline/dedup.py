@@ -625,3 +625,46 @@ def simhash_near_pairs(
     return cand.select(F.col("x.i").alias("a"), F.col("y.i").alias("b"), ham).filter(
         F.col("hamming") <= max_hamming
     ).distinct()
+
+
+def shard_overlap(
+    df: DataFrame,
+    shard_col: str,
+    value_col: str,
+    k: int = 4096,
+    include_self: bool = False,
+) -> DataFrame:
+    """Pairwise corpus-overlap matrix between shards, via theta sketches
+    (hllspark/sketches/theta.py) — the distinct-value overlap of every shard
+    pair (training-shard / crawl-snapshot contamination checks) in ONE pass
+    over the data.
+
+    Scale shape: the single scan builds one theta sketch per shard through
+    the bounded two-phase pipeline (per-partition state <= k hashes); the
+    pairwise stage cross-joins the S-row sketch table with itself — S^2/2
+    CHEAP pairwise ops over <=8k-byte blobs, never S^2 passes over the
+    data.  Estimates are exact while a shard's distinct count stays below
+    k, and carry theta's result-scale error past it (~1/sqrt(k) relative on
+    the union; intersection error scales with the intersection, not the
+    union — the property inclusion-exclusion over HLLs lacks).
+
+    Returns (shard_a, shard_b, est_a, est_b, inter_est, union_est,
+    jaccard_est), upper triangle only unless include_self.
+    """
+    from .. import functions as hfn
+    from .. import sketches
+
+    sk = sketches.build(df, value_col, "theta", by=[shard_col], k=k)
+    a = sk.select(F.col(shard_col).alias("shard_a"), F.col("sketch").alias("__sa"))
+    b = sk.select(F.col(shard_col).alias("shard_b"), F.col("sketch").alias("__sb"))
+    cond = F.col("shard_a") <= F.col("shard_b") if include_self else F.col("shard_a") < F.col("shard_b")
+    pairs = a.crossJoin(b).where(cond)
+    return pairs.select(
+        "shard_a",
+        "shard_b",
+        hfn.theta_estimate(F.col("__sa")).alias("est_a"),
+        hfn.theta_estimate(F.col("__sb")).alias("est_b"),
+        hfn.theta_intersection(F.col("__sa"), F.col("__sb")).alias("inter_est"),
+        hfn.theta_union_estimate(F.col("__sa"), F.col("__sb")).alias("union_est"),
+        hfn.theta_jaccard(F.col("__sa"), F.col("__sb")).alias("jaccard_est"),
+    )

@@ -268,3 +268,26 @@ class TestThetaSpark:
             sketches.build(df, "v", "theta", engine="jvm")
         with pytest.raises(ValueError, match="no Catalyst"):
             sketches.build(df, "v", "theta", engine="jvm_udaf")
+
+
+class TestShardOverlap:
+    def test_engineered_overlap_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from hllspark.pipeline import dedup
+
+        # shards 0/1/2 over ids 0..499 via two shifted 200-wide windows:
+        # 0={0..199}, 1={100..399}, 2={300..499}
+        ids = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+        a = ids.select(F.floor(F.col("doc_id") / 200).alias("shard"), "doc_id")
+        b = ids.select(F.floor((F.col("doc_id") + 100) / 200).alias("shard"), "doc_id")
+        ov = dedup.shard_overlap(a.unionByName(b), "shard", "doc_id", k=4096)
+        rows = {(r["shard_a"], r["shard_b"]): r for r in ov.collect()}
+        assert set(rows) == {(0, 1), (0, 2), (1, 2)}
+        assert rows[(0, 1)]["inter_est"] == 100.0  # exact mode
+        assert rows[(0, 2)]["inter_est"] == 0.0
+        assert rows[(1, 2)]["union_est"] == 400.0
+        assert abs(rows[(0, 1)]["jaccard_est"] - 100 / 400) < 1e-9
+        # include_self adds the diagonal
+        ov2 = dedup.shard_overlap(a.unionByName(b), "shard", "doc_id", k=4096, include_self=True)
+        assert ov2.count() == 6
