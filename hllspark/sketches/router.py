@@ -40,7 +40,8 @@ def build(
 
     ``params`` are the kind's create() parameters (countmin: width/depth;
     bloom: m_bits/k; minhash: k; tdigest: delta [+ exact_capacity on the
-    udaf engine]; kll: k [+ exact_capacity]).
+    udaf engine]; kll: k [+ exact_capacity]; theta: k — python engine only,
+    see the guard below).
     """
     if kind not in _KINDS:
         raise ValueError(f"unknown sketch kind {kind!r}; expected one of {_KINDS}")
