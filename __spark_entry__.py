@@ -99,6 +99,37 @@ def q_distinct_custkey_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
     return _bound_check(est, exact, ["o_orderpriority"])
 
 
+def q_cube_distinct_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg.sketch_cube: every granularity of GROUP BY CUBE(priority, status)
+    distinct-custkey sketches in ONE scan (Catalyst Expand before the
+    map-side partial aggregate) — the DataFrame equivalent of composing the
+    reference's counters with SQL GROUPING SETS.  Rolled-up dims are
+    reported as '(all)' so both engines order rows identically (Spark sorts
+    NULLs first, DuckDB last); grouping_id keeps the SQL disambiguation."""
+    from hllspark import agg
+
+    o = _read(spark, sf_dir, "orders")
+    dims = ["o_orderpriority", "o_orderstatus"]
+    est = agg.sketch_cube(o, "o_custkey", dims, finalize="estimate")
+    exact = o.cube(*dims).agg(
+        F.countDistinct("o_custkey").alias("exact_cnt"),
+        F.grouping_id().cast("long").alias("grouping_id"),
+    )
+
+    def sentinel(df):
+        return df.select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("p"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("s"),
+            *[c for c in ("grouping_id", "est", "exact_cnt") if c in df.columns],
+        )
+
+    j = sentinel(est).join(sentinel(exact), on=["p", "s", "grouping_id"])
+    cond = F.abs(F.col("est") - F.col("exact_cnt")) <= F.lit(MARGIN * BOUND_B14) * F.col("exact_cnt")
+    return j.select(
+        "p", "s", "grouping_id", "exact_cnt", cond.alias("within_bound")
+    ).orderBy("grouping_id", "p", "s")
+
+
 def q_distinct_users_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hllspark import agg
 
@@ -1202,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "distinct_orderkey_global": q_distinct_orderkey_global,
         "distinct_custkey_by_priority": q_distinct_custkey_by_priority,
+        "cube_distinct_rollups": q_cube_distinct_rollups,
         "distinct_users_by_event_type": q_distinct_users_by_event_type,
         "distinct_partsupp_pairs": q_distinct_partsupp_pairs,
         "reagg_stored_sketches": q_reagg_stored_sketches,
@@ -1266,6 +1298,16 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_event_type": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_cnt, TRUE AS within_bound "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        # independent CUBE: DuckDB re-derives every grouping-set cell's exact
+        # count; GROUPING() rebuilds Spark's grouping_id (MSB = first dim)
+        "cube_distinct_rollups": (
+            "SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS p, "
+            "CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS s, "
+            "CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS grouping_id, "
+            "count(DISTINCT o_custkey) AS exact_cnt, TRUE AS within_bound "
+            "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) "
+            "ORDER BY grouping_id, p, s"
         ),
         "distinct_partsupp_pairs": (
             "SELECT count(DISTINCT concat(l_partkey, '|', l_suppkey)) AS exact_cnt, TRUE AS within_bound "

@@ -522,6 +522,128 @@ def sketch(
     return merge_partials(partials, by, fanin=fanin, merge_rounds=merge_rounds)
 
 
+def _resolve_grouping_sets(
+    dims: Sequence[str], sets: Sequence[Sequence[str]] | None, mode: str
+) -> tuple[list[str], list[list[str]]]:
+    """Normalize CUBE / ROLLUP / explicit GROUPING SETS to a list of subsets
+    of ``dims`` (each in canonical dim order — within-set order is
+    semantically irrelevant).  grouping_id convention (Spark's): bit i
+    counted from the MSB end corresponds to dims[i]; 1 = aggregated away."""
+    dims = list(dims)
+    if not dims:
+        raise ValueError("sketch_cube needs at least one dim column")
+    if len(set(dims)) != len(dims):
+        raise ValueError(f"duplicate dim columns: {dims}")
+    n = len(dims)
+    if sets is not None:
+        norm: list[list[str]] = []
+        seen: set[tuple[str, ...]] = set()
+        for s in sets:
+            s = list(s)
+            unknown = [c for c in s if c not in dims]
+            if unknown:
+                raise ValueError(f"grouping set {s} references non-dim columns {unknown}")
+            canon = tuple(c for c in dims if c in s)
+            if len(canon) != len(s):
+                raise ValueError(f"duplicate columns inside grouping set {s}")
+            if canon in seen:
+                raise ValueError(f"duplicate grouping set {list(canon)}")
+            seen.add(canon)
+            norm.append(list(canon))
+        if not norm:
+            raise ValueError("sets must contain at least one grouping set")
+        return dims, norm
+    if mode == "cube":
+        if n > 8:
+            raise ValueError(
+                f"cube over {n} dims expands every input row {2 ** n}x before the "
+                "partial aggregate — pass the grouping sets you actually need via sets="
+            )
+        # gid-ascending order: gid's MSB-end bit i set == dims[i] aggregated away
+        return dims, [
+            [d for i, d in enumerate(dims) if not (gid >> (n - 1 - i)) & 1]
+            for gid in range(2 ** n)
+        ]
+    if mode == "rollup":
+        return dims, [dims[:k] for k in range(n, -1, -1)]
+    raise ValueError(f"unknown mode {mode!r} (cube, rollup, or pass sets=)")
+
+
+def sketch_cube(
+    df: DataFrame,
+    value_col: str,
+    dims: Sequence[str],
+    sets: Sequence[Sequence[str]] | None = None,
+    mode: str = "cube",
+    b: int | None = None,
+    binbits: int | None = None,
+    error_rate: float | None = None,
+    ndistinct: float | None = None,
+    engine: str = "auto",
+    finalize: str = "sketch",
+    est_col: str = "est",
+    gid_col: str = "grouping_id",
+) -> DataFrame:
+    """Multi-granularity sketch rollup: hyperloglog_accum under ``GROUP BY
+    CUBE / ROLLUP / GROUPING SETS`` → DataFrame[dims..., grouping_id,
+    sketch|est].  The reference's counters compose with any SQL GROUP BY for
+    free (they're ordinary Postgres aggregates); this is the Spark
+    DataFrame-level equivalent, building EVERY requested granularity of a
+    sketch rollup table in one pass over the fact table.
+
+    Aggregated-away dims are NULL and ``gid_col`` (Spark grouping_id: bit
+    per dim, MSB = dims[0], 1 = rolled up) disambiguates them from actual
+    NULL key values.  Cell sketches are byte-identical to a per-set
+    ``agg.sketch(df, value_col, by=set)`` — merge determinism makes the
+    canonical state a pure function of each cell's value set — so the output
+    feeds every stored-sketch path (merge_stored, hll_merge_udaf re-agg,
+    per-row read UDFs) like any other rollup table.
+
+    Engines: "jvm_udaf" (single scan — Catalyst Expand replicates rows
+    once per set BEFORE map-side combine, so the shuffle carries
+    |sets| x |keys| buffers; needs the jar) or "jvm"/"python" (one groupBy
+    per grouping set unioned — |sets| scans, no jar; identical bytes).
+    "auto" prefers the single-scan path.  Scale note: full cube is 2^n sets
+    — at 100 TB pass sets= with the granularities a dashboard actually
+    reads rather than cubing many dims (the Expand multiplier IS the cost
+    model; guarded at n > 8)."""
+    dims, resolved = _resolve_grouping_sets(dims, sets, mode)
+    if engine == "auto":
+        engine = "jvm_udaf" if _udaf_available(df.sparkSession) else "jvm"
+    if finalize not in ("sketch", "estimate", "estimate_bigint"):
+        raise ValueError(f"unknown finalize {finalize!r}")
+    if engine == "jvm_udaf":
+        from .jvm_udaf import sketch_cube_jvm_udaf
+
+        return sketch_cube_jvm_udaf(
+            df, value_col, dims, resolved, b, binbits, error_rate, ndistinct,
+            finalize, est_col, gid_col,
+        )
+    n = len(dims)
+    dim_types = {f.name: f.dataType for f in df.schema.fields if f.name in dims}
+    parts = []
+    for s in resolved:
+        gid = sum((1 << (n - 1 - i)) for i, d in enumerate(dims) if d not in s)
+        sk = sketch(
+            df, value_col, by=s, b=b, binbits=binbits,
+            error_rate=error_rate, ndistinct=ndistinct, engine=engine,
+        )
+        cols = [
+            (F.col(d) if d in s else F.lit(None).cast(dim_types[d])).alias(d)
+            for d in dims
+        ]
+        parts.append(sk.select(*cols, F.lit(gid).cast("long").alias(gid_col), "sketch"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if finalize == "sketch":
+        return out
+    from .functions import hll_estimate, hll_estimate_bigint
+
+    fin = hll_estimate if finalize == "estimate" else hll_estimate_bigint
+    return out.select(*dims, gid_col, fin(F.col("sketch")).alias(est_col))
+
+
 def distinct(
     df: DataFrame,
     value_col: str,

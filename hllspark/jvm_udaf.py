@@ -665,6 +665,58 @@ def sketch_jvm_udaf(
     return agged.select(*by, fin(F.col("__blob")).alias(outname))
 
 
+def sketch_cube_jvm_udaf(
+    df: DataFrame,
+    value_col: str,
+    dims: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    b: int | None = None,
+    binbits: int | None = None,
+    error_rate: float | None = None,
+    ndistinct: float | None = None,
+    finalize: str = "sketch",
+    est_col: str = "est",
+    gid_col: str = "grouping_id",
+) -> DataFrame:
+    """Multi-granularity HLL rollup (GROUPING SETS / CUBE / ROLLUP) in ONE
+    scan: Catalyst Expand replicates each input row once per grouping set
+    BEFORE the partial aggregate, so map-side combine still collapses every
+    (set, key) to one JVM buffer per task — the shuffle carries
+    |sets| × |keys| buffer rows, not |sets| × |input rows|.
+
+    The reference gets this for free from SQL composition (counters under
+    any ``GROUP BY GROUPING SETS``, postgres.sql aggregate forms); here it
+    is the DataFrame-level equivalent over the typed aggregator.  Output:
+    dims (NULL where aggregated away) + ``gid_col`` (Spark grouping_id
+    bit-per-dim, MSB = first dim, 1 = aggregated away — disambiguates a
+    rolled-up NULL from an actual NULL key value) + sketch/estimate.
+
+    Each cell's sketch is byte-identical to a separate
+    ``agg.sketch(df, col, by=set)`` at that granularity (merge determinism:
+    canonical state is a pure function of the value SET), so rollup tables
+    built this way can be re-aggregated or read by every stored-blob path.
+    ``finalize`` as in sketch_jvm_udaf (estimates stay fully in-JVM when
+    the round-5 jar is loaded)."""
+    from .agg import jvm_hash_expr
+    from .functions import resolve_params
+
+    b, binbits = resolve_params(b, binbits, error_rate, ndistinct)
+    dims = list(dims)
+    spark = df.sparkSession
+    acol = hll_udaf_column(spark, jvm_hash_expr(df, value_col), b, binbits)
+    gd = df.groupingSets([list(s) for s in sets], *dims)
+    agged = gd.agg(acol.alias("__blob"), F.grouping_id().cast("long").alias(gid_col))
+    outname = "sketch" if finalize == "sketch" else est_col
+    if finalize in ("estimate", "estimate_bigint"):
+        jcol = _estimate_udf_column(spark, F.col("__blob"))
+        if jcol is not None:
+            if finalize == "estimate_bigint":
+                jcol = F.coalesce(F.bround(jcol).cast("long"), F.lit(0))
+            return agged.select(*dims, gid_col, jcol.alias(outname))
+    fin = _finalize_udf(finalize)
+    return agged.select(*dims, gid_col, fin(F.col("__blob")).alias(outname))
+
+
 # ---------------------------------------------------------------------------
 # sibling aggregate buffers: CountMin and Bloom (same jar, same pattern —
 # flat JVM buffer per group, canonical serialization in Python)

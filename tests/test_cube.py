@@ -1,0 +1,140 @@
+"""Multi-granularity sketch rollups (agg.sketch_cube: CUBE / ROLLUP /
+GROUPING SETS) — the DataFrame-level equivalent of composing the reference's
+counters with any SQL GROUP BY (they are ordinary Postgres aggregates, so
+``GROUP BY GROUPING SETS`` over hyperloglog_accum works for free there).
+
+Invariants pinned here:
+- every cube cell's sketch is BYTE-IDENTICAL to a separate
+  agg.sketch(df, col, by=set) at that granularity (merge determinism),
+- the single-scan jvm_udaf path and the per-set union fallback agree,
+- grouping_id disambiguates rolled-up NULL dims from actual NULL keys,
+- the udaf plan reads the source ONCE (Catalyst Expand, not |sets| scans).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hllspark import agg
+from hllspark.agg import _resolve_grouping_sets
+
+ju = pytest.importorskip("hllspark.jvm_udaf")
+
+
+@pytest.fixture(scope="module")
+def udaf_spark(spark):
+    if not ju.available(spark):
+        pytest.skip("hllspark-udaf.jar not loadable (no JDK?)")
+    return spark
+
+
+def _cells(df, dims, col="sketch"):
+    out = {}
+    for r in df.collect():
+        key = tuple(r[d] for d in dims) + (r["grouping_id"],)
+        assert key not in out, f"duplicate cube cell {key}"
+        out[key] = None if r[col] is None else bytes(r[col])
+    return out
+
+
+def _gid(dims, s):
+    n = len(dims)
+    return sum((1 << (n - 1 - i)) for i, d in enumerate(dims) if d not in s)
+
+
+def test_resolve_grouping_sets():
+    dims = ["a", "b", "c"]
+    _, cube = _resolve_grouping_sets(dims, None, "cube")
+    assert len(cube) == 8 and cube[0] == dims and cube[-1] == []
+    # gid-ascending enumeration: set at index g has gid g
+    assert all(_gid(dims, s) == i for i, s in enumerate(cube))
+    _, roll = _resolve_grouping_sets(dims, None, "rollup")
+    assert roll == [["a", "b", "c"], ["a", "b"], ["a"], []]
+    # explicit sets canonicalize within-set order to dim order
+    _, sets = _resolve_grouping_sets(dims, [["c", "a"], []], "cube")
+    assert sets == [["a", "c"], []]
+    with pytest.raises(ValueError, match="non-dim"):
+        _resolve_grouping_sets(dims, [["z"]], "cube")
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        _resolve_grouping_sets(dims, [["a", "b"], ["b", "a"]], "cube")
+    with pytest.raises(ValueError, match="duplicate dim"):
+        _resolve_grouping_sets(["a", "a"], None, "cube")
+    with pytest.raises(ValueError, match="expands every input row"):
+        _resolve_grouping_sets([f"d{i}" for i in range(9)], None, "cube")
+    with pytest.raises(ValueError, match="unknown mode"):
+        _resolve_grouping_sets(dims, None, "dice")
+
+
+def test_cube_cells_match_per_set_groupby(udaf_spark, sf001_dir):
+    """Each cube cell byte-identical to agg.sketch at that granularity."""
+    o = udaf_spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    dims = ["o_orderpriority", "o_orderstatus"]
+    cube = _cells(agg.sketch_cube(o, "o_custkey", dims, engine="jvm_udaf"), dims)
+    _, sets = _resolve_grouping_sets(dims, None, "cube")
+    expect = {}
+    for s in sets:
+        gid = _gid(dims, s)
+        for r in agg.sketch(o, "o_custkey", by=s).collect():
+            key = tuple((r[d] if d in s else None) for d in dims) + (gid,)
+            expect[key] = bytes(r["sketch"])
+    assert cube == expect
+
+
+def test_cube_union_fallback_parity(udaf_spark, sf001_dir):
+    """The no-jar union path (engine=jvm) and single-scan udaf path agree,
+    for full cube and for an explicit grouping-sets list."""
+    o = udaf_spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    dims = ["o_orderpriority", "o_orderstatus"]
+    for kw in ({"mode": "rollup"}, {"sets": [["o_orderstatus"], []]}):
+        u = _cells(agg.sketch_cube(o, "o_custkey", dims, engine="jvm_udaf", **kw), dims)
+        j = _cells(agg.sketch_cube(o, "o_custkey", dims, engine="jvm", **kw), dims)
+        assert u == j
+
+
+def test_cube_null_dim_vs_rolled_up(udaf_spark):
+    """An actual NULL key value and a rolled-up dim both show NULL in the
+    dim column; grouping_id tells them apart (SQL semantics)."""
+    rows = [("x", 1), ("x", 2), (None, 3), (None, 4), (None, 5)]
+    df = udaf_spark.createDataFrame(rows, "g string, v int")
+    est = agg.sketch_cube(df, "v", ["g"], finalize="estimate_bigint")
+    got = {(r["g"], r["grouping_id"]): r["est"] for r in est.collect()}
+    assert got == {("x", 0): 2, (None, 0): 3, (None, 1): 5}
+
+
+def test_cube_all_null_value_group(udaf_spark):
+    """NULL contract composes: a cell whose every value is NULL yields a
+    SQL NULL sketch, including the rolled-up cells it feeds when they have
+    no other rows."""
+    rows = [("x", None), ("x", None), ("y", 7)]
+    df = udaf_spark.createDataFrame(rows, "g string, v int")
+    cells = _cells(agg.sketch_cube(df, "v", ["g"]), ["g"])
+    assert cells[("x", 0)] is None
+    assert cells[("y", 0)] is not None
+    assert cells[(None, 1)] == cells[("y", 0)]  # global == y's cell (same value set)
+
+
+def test_cube_single_scan_plan(udaf_spark, sf001_dir):
+    """The udaf path is one pass: Expand over one parquet scan; the
+    fallback is |sets| scans by construction."""
+    o = udaf_spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    dims = ["o_orderpriority", "o_orderstatus"]
+    plan = agg.sketch_cube(o, "o_custkey", dims, engine="jvm_udaf")._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_cube_estimates_within_bound(udaf_spark, sf001_dir):
+    """Every granularity's estimate within the b=14 bound of the exact
+    cube (computed by Spark's own countDistinct under the same cube)."""
+    o = udaf_spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    dims = ["o_orderpriority", "o_orderstatus"]
+    est = agg.sketch_cube(o, "o_custkey", dims, finalize="estimate")
+    exact = (
+        o.cube(*dims)
+        .agg(F.countDistinct("o_custkey").alias("exact"), F.grouping_id().cast("long").alias("grouping_id"))
+    )
+    keyed_est = {tuple(r[d] for d in dims) + (r["grouping_id"],): r["est"] for r in est.collect()}
+    keyed_exact = {tuple(r[d] for d in dims) + (r["grouping_id"],): r["exact"] for r in exact.collect()}
+    assert set(keyed_est) == set(keyed_exact) and len(keyed_est) >= 4
+    bound = 1.04 / (2 ** 14) ** 0.5 * 1.5  # published bound + margin
+    for k, e in keyed_est.items():
+        assert abs(e - keyed_exact[k]) <= bound * keyed_exact[k], (k, e, keyed_exact[k])

@@ -4,7 +4,8 @@ runs every __spark_entry__.queries()[name] at sf0.01 AND its oracle_sql()
 in DuckDB, then compares row count, column names, and order-insensitive
 values (columns sorted by name, rows sorted, values normalized).
 
-Usage: python tools/check_contract.py [sf_dir]
+Usage: python tools/check_contract.py [sf_dir] [query_name ...]
+(names filter the run to those queries — iterate on one without the full gate)
 """
 
 import os
@@ -88,6 +89,12 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2:])
+        unknown = only - set(qs)
+        if unknown:
+            sys.exit(f"unknown query names: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
 
     # smoke: entry()
     edf = entrymod.entry(spark)
