@@ -39,7 +39,7 @@ serialization measured 3.6× on the whole query.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import numpy as np
 import pandas as pd
@@ -792,6 +792,19 @@ def _bloom_blob_to_bytes(buf) -> bytes | None:
     return Bloom(m_bits, k, bits, n_added, hash_kind).to_bytes()
 
 
+class GroupingSets(NamedTuple):
+    """Multi-granularity grouping spec accepted wherever the sibling udaf
+    builders take ``by`` (router.build_cube constructs it): aggregate under
+    ``df.groupingSets(sets, *dims)`` instead of a plain groupBy, emitting
+    dims (NULL where aggregated away) + ``gid_col`` (Spark grouping_id,
+    MSB = dims[0]) alongside the sketch.  Same single-scan Expand plan as
+    agg.sketch_cube's udaf path."""
+
+    dims: Sequence[str]
+    sets: Sequence[Sequence[str]]
+    gid_col: str = "grouping_id"
+
+
 def _sibling_sketch(
     df: DataFrame,
     value_col: str,
@@ -804,19 +817,25 @@ def _sibling_sketch(
 ) -> DataFrame:
     from .agg import jvm_hash_expr
 
-    by = list(by or [])
     spark = df.sparkSession
     if in_col is None:
         in_col = jvm_hash_expr(df, value_col)
     acol = _sibling_udaf_column(spark, in_col, cls_name, args, encoder=encoder)
-    gb = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
-    agged = gb.agg(acol.alias("__blob"))
+    if isinstance(by, GroupingSets):
+        gd = df.groupingSets([list(s) for s in by.sets], *by.dims)
+        agged = gd.agg(acol.alias("__blob"), F.grouping_id().cast("long").alias(by.gid_col))
+        keep = [*by.dims, by.gid_col]
+    else:
+        by = list(by or [])
+        gb = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
+        agged = gb.agg(acol.alias("__blob"))
+        keep = by
 
     @pandas_udf("binary")
     def fin(blobs: pd.Series) -> pd.Series:
         return blobs.map(lambda v: None if v is None else blob_fn(v))
 
-    return agged.select(*by, fin(F.col("__blob")).alias("sketch"))
+    return agged.select(*keep, fin(F.col("__blob")).alias("sketch"))
 
 
 def countmin_jvm_udaf(

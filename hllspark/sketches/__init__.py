@@ -19,6 +19,14 @@ def build(df, value_col, kind, by=None, engine="auto", **params):
     return _build(df, value_col, kind, by=by, engine=engine, **params)
 
 
+def build_cube(df, value_col, kind, dims, sets=None, mode="cube", engine="auto", **params):
+    """Multi-granularity sibling-sketch rollup (CUBE / ROLLUP / GROUPING
+    SETS; see sketches.router.build_cube) — lazy import, like build()."""
+    from .router import build_cube as _bc
+
+    return _bc(df, value_col, kind, dims, sets=sets, mode=mode, engine=engine, **params)
+
+
 def merge_stored(df, kind, sketch_col="sketch", by=None, engine="auto"):
     """Re-aggregate a stored sketch rollup table of any kind (see
     sketches.router.merge_stored) — lazy import, like build()."""

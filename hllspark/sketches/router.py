@@ -109,6 +109,83 @@ def build(
     raise ValueError(f"unknown engine {engine!r}; expected auto/jvm_udaf/jvm/python")
 
 
+def build_cube(
+    df: DataFrame,
+    value_col: str,
+    kind: str,
+    dims: Sequence[str],
+    sets: Sequence[Sequence[str]] | None = None,
+    mode: str = "cube",
+    engine: str = "auto",
+    gid_col: str = "grouping_id",
+    **params,
+) -> DataFrame:
+    """Multi-granularity sibling-sketch rollup — agg.sketch_cube for the
+    sibling kinds: DataFrame[dims..., grouping_id, sketch] with one cell
+    per (grouping set, key).  Same semantics as sketch_cube (grouping_id
+    MSB = dims[0]; rolled-up dims NULL; full cube guarded at 8 dims —
+    pass sets= at scale).
+
+    Engines route like build(): jvm_udaf runs ALL granularities in one scan
+    (Catalyst Expand before map-side combine, via jvm_udaf.GroupingSets);
+    jvm/python union one build() per set (|sets| scans).  Cells are
+    byte-identical to a per-set ``build(df, col, kind, by=set)`` — except
+    the quantile kinds past exact_capacity distinct values per buffer,
+    where only rank-bounded equivalence holds (the usual two-mode caveat).
+    theta is python-engine-only, so its cube is always the union path."""
+    from ..agg import _resolve_grouping_sets, _udaf_available
+
+    if kind not in _KINDS:
+        raise ValueError(f"unknown sketch kind {kind!r}; expected one of {_KINDS}")
+    dims, resolved = _resolve_grouping_sets(dims, sets, mode)
+    if kind == "theta" and engine in ("jvm", "jvm_udaf"):
+        raise ValueError(
+            "theta sketches have no Catalyst/aggregate-buffer engine: "
+            "bounded per-group k-smallest isn't expressible as a groupBy "
+            "reduction without collect_set; use engine='python' (cube = "
+            "one python build per grouping set, unioned)"
+        )
+    auto = engine == "auto"
+    if kind == "theta":
+        engine = "python"
+    elif auto:
+        engine = "jvm_udaf" if _udaf_available(df.sparkSession) else "jvm"
+    if engine == "jvm_udaf":
+        from .. import jvm_udaf
+
+        fn = {
+            "countmin": jvm_udaf.countmin_jvm_udaf,
+            "bloom": jvm_udaf.bloom_jvm_udaf,
+            "minhash": jvm_udaf.minhash_jvm_udaf,
+            "tdigest": jvm_udaf.tdigest_jvm_udaf,
+            "kll": jvm_udaf.kll_jvm_udaf,
+        }[kind]
+        try:
+            return fn(df, value_col, by=jvm_udaf.GroupingSets(dims, resolved, gid_col), **params)
+        except RuntimeError:
+            if not auto:
+                raise
+            engine = "jvm"
+    # union fallback: one build() per grouping set — |sets| scans, same bytes
+    from pyspark.sql import functions as F
+
+    n = len(dims)
+    dim_types = {f.name: f.dataType for f in df.schema.fields if f.name in dims}
+    parts = []
+    for s in resolved:
+        gid = sum((1 << (n - 1 - i)) for i, d in enumerate(dims) if d not in s)
+        sk = build(df, value_col, kind, by=s, engine=engine, **params)
+        cols = [
+            (F.col(d) if d in s else F.lit(None).cast(dim_types[d])).alias(d)
+            for d in dims
+        ]
+        parts.append(sk.select(*cols, F.lit(gid).cast("long").alias(gid_col), "sketch"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def merge_stored(
     df: DataFrame,
     kind: str,

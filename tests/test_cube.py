@@ -122,6 +122,52 @@ def test_cube_single_scan_plan(udaf_spark, sf001_dir):
     assert plan.count("Scan parquet") == 1, plan
 
 
+_SIBLING_PARAMS = {
+    "countmin": {"width": 64, "depth": 3},
+    "bloom": {"m_bits": 1 << 12, "k": 4},
+    "minhash": {"k": 16},
+    "tdigest": {"delta": 50},
+    "kll": {"k": 64},
+}
+
+
+def test_sibling_cube_parity(udaf_spark, sf001_dir):
+    """sketches.build_cube: udaf single-scan cells byte-identical to per-set
+    build() AND to the union fallback, for every sibling kind (quantile
+    kinds stay in exact mode at this cardinality)."""
+    from hllspark import sketches
+
+    o = udaf_spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    dims = ["o_orderstatus"]
+    for kind, params in _SIBLING_PARAMS.items():
+        u = _cells(sketches.build_cube(o, "o_custkey", kind, dims, engine="jvm_udaf", **params), dims)
+        j = _cells(sketches.build_cube(o, "o_custkey", kind, dims, engine="jvm", **params), dims)
+        assert u == j, kind
+        for s in ([dims[0]], []):
+            gid = _gid(dims, s)
+            for r in sketches.build(o, "o_custkey", kind, by=s, **params).collect():
+                key = ((r[dims[0]] if s else None), gid)
+                assert u[key] == bytes(r["sketch"]), (kind, key)
+
+
+def test_theta_cube_union_path(udaf_spark, sf001_dir):
+    """theta has no aggregate-buffer engine: its cube is the union path and
+    refuses the jvm engines with the build() rationale."""
+    from hllspark import sketches
+
+    o = udaf_spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    dims = ["o_orderstatus"]
+    cells = _cells(sketches.build_cube(o, "o_custkey", "theta", dims, k=256), dims)
+    expect = {}
+    for s in ([dims[0]], []):
+        gid = _gid(dims, s)
+        for r in sketches.build(o, "o_custkey", "theta", by=s, engine="python", k=256).collect():
+            expect[((r[dims[0]] if s else None), gid)] = bytes(r["sketch"])
+    assert cells == expect
+    with pytest.raises(ValueError, match="theta"):
+        sketches.build_cube(o, "o_custkey", "theta", dims, engine="jvm_udaf", k=256)
+
+
 def test_cube_estimates_within_bound(udaf_spark, sf001_dir):
     """Every granularity's estimate within the b=14 bound of the exact
     cube (computed by Spark's own countDistinct under the same cube)."""
