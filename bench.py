@@ -121,6 +121,33 @@ def headline_queries(spark, pages_path: str):
 
         tdigest_jvm(pages.select(F.unix_timestamp("warc_ts").alias("ts")), "ts").collect()
 
+    # 4-granularity rollup cube (lang × shard, round 5): agg.sketch_cube's
+    # single scan (Catalyst Expand before map-side combine) vs the SAME four
+    # granularities as four separate udaf queries — the multi-scan cost a
+    # cube user avoids.  Both sides hash the same 4x expanded row count; the
+    # delta is three saved parquet scans + three query/stage overheads.  The
+    # input keeps 1/4 of the rows behind a pushed filter so the pair is
+    # SCAN-dominated (scan 32M rows, hash 8M×4) — the 100 TB regime where
+    # the single-scan plan is the point; an unfiltered pair is hash-bound
+    # and its ratio collapses toward 1 regardless of plan shape.  Reported
+    # as an alternating-median pair, not two suite wall-time entries.
+    def _cube_input():
+        return pages.where(F.pmod(F.xxhash64("url", F.lit(7)), F.lit(4)) == 0).select(
+            "url", "lang", F.pmod(F.xxhash64("url"), F.lit(8)).alias("shard")
+        )
+
+    def q_cube_4sets_onescan():
+        agg.sketch_cube(
+            _cube_input(), "url", ["lang", "shard"], engine="jvm_udaf", finalize="estimate"
+        ).collect()
+
+    def q_cube_4sets_perset():
+        from hllspark import jvm_udaf as ju
+
+        d = _cube_input()
+        for s in (["lang", "shard"], ["lang"], ["shard"], []):
+            ju.sketch_jvm_udaf(d, "url", s, finalize="estimate").collect()
+
     # 100k-key grouped distinct (per-domain shape): exercises the
     # ObjectHashAggregate fallback threshold and the sketch-row shuffle at
     # realistic key cardinality (round-3 verdict item #6) — udaf (aggregate
@@ -244,6 +271,8 @@ def headline_queries(spark, pages_path: str):
         "pages_distinct_texthash": q_pages_distinct_texthash,
         "reagg_stored_sketches": q_reagg_stored,
         "pages_ts_quantiles_tdigest": q_pages_ts_quantiles_tdigest,
+        "cube_4sets_onescan": q_cube_4sets_onescan,
+        "cube_4sets_perset": q_cube_4sets_perset,
         "highcard_grouped_100k_udaf": q_highcard_grouped_100k_udaf,
         "highcard_grouped_100k_datasketches": q_highcard_grouped_100k_datasketches,
         "reagg_100k_stored_udaf": q_reagg_100k_stored_udaf,
@@ -344,6 +373,11 @@ def main():
     from hllspark import agg  # noqa: F401  (import before timing so workers are warm-ish)
 
     qs = headline_queries(spark, pages_path)
+    # the cube pair is a median-pair ratio claim, not a suite wall-time entry
+    # (each rep hashes 4× the flagship's rows — two suite slots would double
+    # the headline metric without adding information)
+    cube_onescan = qs.pop("cube_4sets_onescan")
+    cube_perset = qs.pop("cube_4sets_perset")
     # warmup
     spark.range(1_000_000).count()
     agg.distinct(spark.read.parquet(f"{SF_DIR}/nation.parquet"), "n_nationkey").collect()
@@ -383,6 +417,9 @@ def main():
             "reps": reps,
         }
 
+    # warm the cube pair — the suite warm pass above never ran it
+    cube_onescan()
+    cube_perset()
     median_pairs = {
         "global_distinct_vs_datasketches": _alt_median_pair(
             qs["pages_distinct_url"], qs["comparator_datasketches_hll"]
@@ -390,6 +427,10 @@ def main():
         "highcard_100k_vs_datasketches": _alt_median_pair(
             qs["highcard_grouped_100k_udaf"], qs["highcard_grouped_100k_datasketches"]
         ),
+        # ratio < 1 = the single-scan cube beats running the same four
+        # granularities as four separate scans (scan-dominated input; the
+        # ceiling is 4× at pure scan-bound, ~1× at pure hash-bound)
+        "cube_onescan_vs_4scans": _alt_median_pair(cube_onescan, cube_perset, reps=3),
     }
     spark.stop()
 
@@ -525,7 +566,7 @@ def main():
     lines += [f"- {k}: {v}s" for k, v in timings.items()]
     lines += [
         "",
-        "Alternating-rep median pairs (same window, 5 alternations each — the",
+        "Alternating-rep median pairs (same window, 3-5 alternations each — the",
         "ratio statistic least sensitive to this VM's minute-scale swings):",
         "",
     ] + [
