@@ -569,6 +569,44 @@ def _resolve_grouping_sets(
     raise ValueError(f"unknown mode {mode!r} (cube, rollup, or pass sets=)")
 
 
+def _expand_grouping_sets(
+    df: DataFrame,
+    keep_cols: Sequence[str],
+    dims: Sequence[str],
+    resolved: Sequence[Sequence[str]],
+    gid_col: str,
+) -> DataFrame:
+    """Replicate every row once per grouping set — the Catalyst-Expand
+    equivalent for engines that aggregate via groupBy instead of
+    ``df.groupingSets`` (which only accepts real aggregate expressions).
+    ``explode(array(struct_per_set))`` is a Generate node: one scan, JVM-side
+    row replication, rolled-up dims NULLed at their original type, and the
+    set's grouping_id carried as a column — so a plain
+    ``groupBy(*dims, gid_col)`` over the result computes every granularity
+    in a single pass.  Same shuffle shape as the udaf cube path
+    (|sets| × |keys| groups), |sets|-1 fewer source scans than a per-set
+    union."""
+    n = len(dims)
+    dim_types = {f.name: f.dataType for f in df.schema.fields if f.name in dims}
+    structs = []
+    for s in resolved:
+        gid = sum((1 << (n - 1 - i)) for i, d in enumerate(dims) if d not in s)
+        structs.append(
+            F.struct(
+                *[
+                    (F.col(d) if d in s else F.lit(None).cast(dim_types[d])).alias(d)
+                    for d in dims
+                ],
+                F.lit(gid).cast("long").alias(gid_col),
+            )
+        )
+    return df.select(*keep_cols, F.explode(F.array(*structs)).alias("_gs")).select(
+        *keep_cols,
+        *[F.col(f"_gs.{d}").alias(d) for d in dims],
+        F.col(f"_gs.{gid_col}").alias(gid_col),
+    )
+
+
 def sketch_cube(
     df: DataFrame,
     value_col: str,
@@ -599,11 +637,15 @@ def sketch_cube(
     feeds every stored-sketch path (merge_stored, hll_merge_udaf re-agg,
     per-row read UDFs) like any other rollup table.
 
-    Engines: "jvm_udaf" (single scan — Catalyst Expand replicates rows
-    once per set BEFORE map-side combine, so the shuffle carries
-    |sets| x |keys| buffers; needs the jar) or "jvm"/"python" (one groupBy
-    per grouping set unioned — |sets| scans, no jar; identical bytes).
-    "auto" prefers the single-scan path.  Scale note: full cube is 2^n sets
+    Engines: "jvm_udaf" (Catalyst Expand replicates rows once per set
+    BEFORE map-side combine, so the shuffle carries |sets| x |keys| buffers;
+    needs the jar) or "jvm"/"python" (the same single-scan shape via an
+    explode-based Expand — _expand_grouping_sets — then one grouped sketch
+    over dims+grouping_id; no jar, identical bytes).  Every engine is one
+    pass over the source.  One SQL-semantics edge: over an EMPTY input the
+    udaf path (df.groupingSets) still emits the global-set row with a NULL
+    sketch, while the groupBy engines emit no rows.
+    "auto" prefers jvm_udaf.  Scale note: full cube is 2^n sets
     — at 100 TB pass sets= with the granularities a dashboard actually
     reads rather than cubing many dims (the Expand multiplier IS the cost
     model; guarded at n > 8)."""
@@ -619,23 +661,13 @@ def sketch_cube(
             df, value_col, dims, resolved, b, binbits, error_rate, ndistinct,
             finalize, est_col, gid_col,
         )
-    n = len(dims)
-    dim_types = {f.name: f.dataType for f in df.schema.fields if f.name in dims}
-    parts = []
-    for s in resolved:
-        gid = sum((1 << (n - 1 - i)) for i, d in enumerate(dims) if d not in s)
-        sk = sketch(
-            df, value_col, by=s, b=b, binbits=binbits,
-            error_rate=error_rate, ndistinct=ndistinct, engine=engine,
-        )
-        cols = [
-            (F.col(d) if d in s else F.lit(None).cast(dim_types[d])).alias(d)
-            for d in dims
-        ]
-        parts.append(sk.select(*cols, F.lit(gid).cast("long").alias(gid_col), "sketch"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    expanded = _expand_grouping_sets(
+        df.select(value_col, *dims), [value_col], dims, resolved, gid_col
+    )
+    out = sketch(
+        expanded, value_col, by=[*dims, gid_col], b=b, binbits=binbits,
+        error_rate=error_rate, ndistinct=ndistinct, engine=engine,
+    )
     if finalize == "sketch":
         return out
     from .functions import hll_estimate, hll_estimate_bigint

@@ -126,13 +126,14 @@ def build_cube(
     MSB = dims[0]; rolled-up dims NULL; full cube guarded at 8 dims —
     pass sets= at scale).
 
-    Engines route like build(): jvm_udaf runs ALL granularities in one scan
-    (Catalyst Expand before map-side combine, via jvm_udaf.GroupingSets);
-    jvm/python union one build() per set (|sets| scans).  Cells are
-    byte-identical to a per-set ``build(df, col, kind, by=set)`` — except
-    the quantile kinds past exact_capacity distinct values per buffer,
-    where only rank-bounded equivalence holds (the usual two-mode caveat).
-    theta is python-engine-only, so its cube is always the union path."""
+    Engines route like build(), and every path is ONE scan of the source:
+    jvm_udaf via Catalyst Expand before map-side combine
+    (jvm_udaf.GroupingSets); jvm/python (theta included) via the
+    explode-based Expand (agg._expand_grouping_sets) feeding one grouped
+    build over dims+grouping_id.  Cells are byte-identical to a per-set
+    ``build(df, col, kind, by=set)`` — except the quantile kinds past
+    exact_capacity distinct values per buffer, where only rank-bounded
+    equivalence holds (the usual two-mode caveat)."""
     from ..agg import _resolve_grouping_sets, _udaf_available
 
     if kind not in _KINDS:
@@ -142,8 +143,8 @@ def build_cube(
         raise ValueError(
             "theta sketches have no Catalyst/aggregate-buffer engine: "
             "bounded per-group k-smallest isn't expressible as a groupBy "
-            "reduction without collect_set; use engine='python' (cube = "
-            "one python build per grouping set, unioned)"
+            "reduction without collect_set; use engine='python' (the cube "
+            "is still one scan — explode-based Expand + one grouped build)"
         )
     auto = engine == "auto"
     if kind == "theta":
@@ -166,24 +167,14 @@ def build_cube(
             if not auto:
                 raise
             engine = "jvm"
-    # union fallback: one build() per grouping set — |sets| scans, same bytes
-    from pyspark.sql import functions as F
+    # groupBy-engine path (incl. theta): the same single-scan shape via the
+    # explode-based Expand, then one grouped build over dims+grouping_id
+    from ..agg import _expand_grouping_sets
 
-    n = len(dims)
-    dim_types = {f.name: f.dataType for f in df.schema.fields if f.name in dims}
-    parts = []
-    for s in resolved:
-        gid = sum((1 << (n - 1 - i)) for i, d in enumerate(dims) if d not in s)
-        sk = build(df, value_col, kind, by=s, engine=engine, **params)
-        cols = [
-            (F.col(d) if d in s else F.lit(None).cast(dim_types[d])).alias(d)
-            for d in dims
-        ]
-        parts.append(sk.select(*cols, F.lit(gid).cast("long").alias(gid_col), "sketch"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    expanded = _expand_grouping_sets(
+        df.select(value_col, *dims), [value_col], dims, resolved, gid_col
+    )
+    return build(expanded, value_col, kind, by=[*dims, gid_col], engine=engine, **params)
 
 
 def merge_stored(

@@ -80,8 +80,8 @@ def test_cube_cells_match_per_set_groupby(udaf_spark, sf001_dir):
 
 
 def test_cube_union_fallback_parity(udaf_spark, sf001_dir):
-    """The no-jar union path (engine=jvm) and single-scan udaf path agree,
-    for full cube and for an explicit grouping-sets list."""
+    """The no-jar path (engine=jvm, explode-based Expand) and the udaf
+    path agree, for a rollup and for an explicit grouping-sets list."""
     o = udaf_spark.read.parquet(f"{sf001_dir}/orders.parquet")
     dims = ["o_orderpriority", "o_orderstatus"]
     for kw in ({"mode": "rollup"}, {"sets": [["o_orderstatus"], []]}):
@@ -113,13 +113,21 @@ def test_cube_all_null_value_group(udaf_spark):
 
 
 def test_cube_single_scan_plan(udaf_spark, sf001_dir):
-    """The udaf path is one pass: Expand over one parquet scan; the
-    fallback is |sets| scans by construction."""
+    """EVERY engine is one pass: the udaf path via Catalyst Expand, the
+    groupBy engines via the explode-based Expand (Generate node)."""
     o = udaf_spark.read.parquet(f"{sf001_dir}/orders.parquet")
     dims = ["o_orderpriority", "o_orderstatus"]
     plan = agg.sketch_cube(o, "o_custkey", dims, engine="jvm_udaf")._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1, plan
+    # the jvm groupBy engine is inherently a two-branch plan over its input
+    # (distinct-encode pass ∪ chain rows), so the honest single-scan claim
+    # is relative: the cube reads the source exactly as often as ONE grouped
+    # sketch — the explode Expand replaced the per-set union's |sets|×.
+    plan = agg.sketch_cube(o, "o_custkey", dims, engine="jvm")._jdf.queryExecution().executedPlan().toString()
+    single = agg.sketch(o, "o_custkey", by=dims, engine="jvm")._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    assert plan.count("Scan parquet") == single.count("Scan parquet"), plan
 
 
 _SIBLING_PARAMS = {
@@ -150,14 +158,18 @@ def test_sibling_cube_parity(udaf_spark, sf001_dir):
                 assert u[key] == bytes(r["sketch"]), (kind, key)
 
 
-def test_theta_cube_union_path(udaf_spark, sf001_dir):
-    """theta has no aggregate-buffer engine: its cube is the union path and
-    refuses the jvm engines with the build() rationale."""
+def test_theta_cube_single_scan(udaf_spark, sf001_dir):
+    """theta has no aggregate-buffer engine, but its cube is still ONE scan
+    (explode-based Expand + one grouped python build), byte-identical to
+    per-set builds; the jvm engines refuse with the build() rationale."""
     from hllspark import sketches
 
     o = udaf_spark.read.parquet(f"{sf001_dir}/orders.parquet")
     dims = ["o_orderstatus"]
-    cells = _cells(sketches.build_cube(o, "o_custkey", "theta", dims, k=256), dims)
+    cube_df = sketches.build_cube(o, "o_custkey", "theta", dims, k=256)
+    plan = cube_df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan and plan.count("Scan parquet") == 1, plan
+    cells = _cells(cube_df, dims)
     expect = {}
     for s in ([dims[0]], []):
         gid = _gid(dims, s)
