@@ -130,6 +130,56 @@ def q_cube_distinct_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grouping_id", "p", "s")
 
 
+def q_cube_from_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketches.merge_stored_cube: every ROLLUP granularity derived by
+    MERGING the finest-granularity stored sketches — zero fact-table passes
+    past the finest build (the reference's sum(counter) workflow generalized
+    to GROUPING SETS; hll_merge_udaf blob merge in-JVM when the jar loads).
+    Checks estimates against exact counts AND that every derived cell is
+    byte-identical to the directly-built cube cell (merge determinism)."""
+    from hllspark import agg, sketches
+
+    o = _read(spark, sf_dir, "orders")
+    dims = ["o_orderpriority", "o_orderstatus"]
+    finest = agg.sketch(o, "o_custkey", by=dims)
+    rolled = sketches.merge_stored_cube(finest, "hll", dims, mode="rollup")
+    direct = agg.sketch_cube(o, "o_custkey", dims, mode="rollup")
+    exact = o.rollup(*dims).agg(
+        F.countDistinct("o_custkey").alias("exact_cnt"),
+        F.grouping_id().cast("long").alias("grouping_id"),
+    )
+
+    def sentinel(df, sk=None):
+        cols = [
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("p"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("s"),
+            "grouping_id",
+        ]
+        if sk is not None:
+            cols.append(F.col("sketch").alias(sk))
+        elif "exact_cnt" in df.columns:
+            cols.append("exact_cnt")
+        return df.select(*cols)
+
+    from hllspark.functions import hll_estimate
+
+    j = (
+        sentinel(rolled, "sk_rolled")
+        .join(sentinel(direct, "sk_direct"), on=["p", "s", "grouping_id"])
+        .join(sentinel(exact), on=["p", "s", "grouping_id"])
+    )
+    est = hll_estimate(F.col("sk_rolled"))
+    cond = F.abs(est - F.col("exact_cnt")) <= F.lit(MARGIN * BOUND_B14) * F.col("exact_cnt")
+    return j.select(
+        "p",
+        "s",
+        "grouping_id",
+        "exact_cnt",
+        cond.alias("within_bound"),
+        (F.col("sk_rolled") == F.col("sk_direct")).alias("matches_direct"),
+    ).orderBy("grouping_id", "p", "s")
+
+
 def q_distinct_users_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hllspark import agg
 
@@ -1234,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_orderkey_global": q_distinct_orderkey_global,
         "distinct_custkey_by_priority": q_distinct_custkey_by_priority,
         "cube_distinct_rollups": q_cube_distinct_rollups,
+        "cube_from_stored": q_cube_from_stored,
         "distinct_users_by_event_type": q_distinct_users_by_event_type,
         "distinct_partsupp_pairs": q_distinct_partsupp_pairs,
         "reagg_stored_sketches": q_reagg_stored_sketches,
@@ -1307,6 +1358,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS grouping_id, "
             "count(DISTINCT o_custkey) AS exact_cnt, TRUE AS within_bound "
             "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) "
+            "ORDER BY grouping_id, p, s"
+        ),
+        "cube_from_stored": (
+            "SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS p, "
+            "CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS s, "
+            "CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS grouping_id, "
+            "count(DISTINCT o_custkey) AS exact_cnt, TRUE AS within_bound, TRUE AS matches_direct "
+            "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) "
             "ORDER BY grouping_id, p, s"
         ),
         "distinct_partsupp_pairs": (

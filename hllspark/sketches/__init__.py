@@ -33,3 +33,14 @@ def merge_stored(df, kind, sketch_col="sketch", by=None, engine="auto"):
     from .router import merge_stored as _ms
 
     return _ms(df, kind, sketch_col=sketch_col, by=by, engine=engine)
+
+
+def merge_stored_cube(df, kind, dims, sets=None, mode="cube", sketch_col="sketch",
+                      engine="auto", gid_col="grouping_id"):
+    """Derive every coarser cube granularity by merging the finest
+    STORED sketches — no fact-table pass (see
+    sketches.router.merge_stored_cube) — lazy import, like build()."""
+    from .router import merge_stored_cube as _msc
+
+    return _msc(df, kind, dims, sets=sets, mode=mode, sketch_col=sketch_col,
+                engine=engine, gid_col=gid_col)

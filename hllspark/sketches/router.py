@@ -228,3 +228,53 @@ def merge_stored(
                "minhash": MinHash, "tdigest": TDigest, "kll": KLL, "theta": Theta}[kind]
         return merge_partials(df, by, sketch_col=sketch_col, cls=cls, engine="python")
     raise ValueError(f"unknown engine {engine!r}; expected auto/jvm_udaf/python")
+
+
+def merge_stored_cube(
+    df: DataFrame,
+    kind: str,
+    dims: Sequence[str],
+    sets: Sequence[Sequence[str]] | None = None,
+    mode: str = "cube",
+    sketch_col: str = "sketch",
+    engine: str = "auto",
+    gid_col: str = "grouping_id",
+) -> DataFrame:
+    """Derive every coarser granularity of a sketch cube by MERGING the
+    FINEST-granularity STORED sketches — no pass over the fact table at all.
+    ``df`` must hold one sketch per full ``dims`` key (the output of
+    ``build(facts, col, kind, by=dims)`` / ``agg.sketch(...)``, or a cube's
+    gid=0 cells); each requested grouping set's cells are the merge of the
+    finest cells sharing the kept dims.
+
+    This is THE rollup path at scale: the fact scan happens once (when the
+    finest table is built) and every further granularity costs |keys|
+    sketch merges instead of |rows| updates — the reference's
+    ``sum(counter) ... GROUP BY`` workflow generalized to GROUPING SETS.
+    Same single-scan shape as the cube builders (explode-based Expand over
+    the sketch table, then one merge_stored over dims+grouping_id), routed
+    through the in-JVM blob-merge aggregators when the jar loads.
+
+    Parity: for the merge-exact kinds (hll, countmin, bloom, minhash,
+    theta) merge determinism makes each derived cell BYTE-IDENTICAL to
+    building that granularity directly from the facts.  The quantile kinds
+    are the exception: the CANONICAL tdigest/kll format is centroids /
+    compactor levels (no exact-mode wire form), so a rolled-up cell merges
+    centroid lists and is RANK-BOUNDED equivalent to the direct build, not
+    byte-identical.  NULL cells (all-NULL value groups) merge like any stored
+    NULL sketch: they vanish into non-NULL siblings and propagate NULL
+    only where every contributing cell is NULL."""
+    from ..agg import _expand_grouping_sets, _resolve_grouping_sets
+
+    dims, resolved = _resolve_grouping_sets(dims, sets, mode)
+    missing = [d for d in dims if d not in df.columns]
+    if missing:
+        raise ValueError(f"stored table lacks dim columns {missing}")
+    if sketch_col not in df.columns:
+        raise ValueError(f"stored table lacks sketch column {sketch_col!r}")
+    expanded = _expand_grouping_sets(
+        df.select(sketch_col, *dims), [sketch_col], dims, resolved, gid_col
+    )
+    return merge_stored(
+        expanded, kind, sketch_col=sketch_col, by=[*dims, gid_col], engine=engine
+    )

@@ -180,6 +180,73 @@ def test_theta_cube_single_scan(udaf_spark, sf001_dir):
         sketches.build_cube(o, "o_custkey", "theta", dims, engine="jvm_udaf", k=256)
 
 
+def test_merge_stored_cube_matches_direct(udaf_spark, sf001_dir):
+    """Rolling up from the FINEST stored sketches (no fact rescan) yields
+    cells byte-identical to building each granularity from the facts, for
+    hll, every exact-merge sibling, and theta.  Quantile kinds merge
+    centroids/compactor levels (the canonical format has no exact mode),
+    so their rolled-up cells are RANK-BOUNDED equivalent, not
+    byte-identical — checked against exact per-cell quantiles."""
+    import duckdb
+
+    from hllspark import sketches
+
+    o = udaf_spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    dims = ["o_orderpriority", "o_orderstatus"]
+    exact_merge = [("hll", {}), ("theta", {"k": 256})] + [
+        (k, p) for k, p in _SIBLING_PARAMS.items() if k not in ("tdigest", "kll")
+    ]
+    for kind, params in exact_merge:
+        if kind == "hll":
+            finest = agg.sketch(o, "o_custkey", by=dims)
+            direct = _cells(agg.sketch_cube(o, "o_custkey", dims, mode="rollup"), dims)
+        else:
+            finest = sketches.build(o, "o_custkey", kind, by=dims, **params)
+            direct = _cells(
+                sketches.build_cube(o, "o_custkey", kind, dims, mode="rollup", **params), dims
+            )
+        rolled = _cells(sketches.merge_stored_cube(finest, kind, dims, mode="rollup"), dims)
+        assert rolled == direct, kind
+    # quantile kinds: each rolled-up cell's q-estimates stay within a loose
+    # rank window of the cell's exact quantiles (sketch within eps of exact
+    # and merged-sketch within eps' of exact → both near the same values)
+    pdf = o.select(*dims, "o_custkey").toPandas()
+    for kind, params in (("tdigest", {"delta": 100}), ("kll", {"k": 256})):
+        cls = {"tdigest": sketches.TDigest, "kll": sketches.KLL}[kind]
+        finest = sketches.build(o, "o_custkey", kind, by=dims, **params)
+        rolled = _cells(sketches.merge_stored_cube(finest, kind, dims, mode="rollup"), dims)
+        for (p, s, gid), blob in rolled.items():
+            sel = pdf
+            if gid < 2:
+                sel = sel[sel[dims[0]] == p]
+            if gid < 1:
+                sel = sel[sel[dims[1]] == s]
+            vals = sel["o_custkey"].sort_values().to_numpy()
+            sk = cls.from_bytes(blob)
+            for q in (0.25, 0.5, 0.75):
+                exact_q = vals[min(len(vals) - 1, int(q * len(vals)))]
+                # rank of the sketch's quantile answer in the exact data
+                r = (vals <= sk.quantile(q)).mean()
+                assert abs(r - q) < 0.12, (kind, p, s, gid, q, r, exact_q)
+
+
+def test_merge_stored_cube_null_cells(udaf_spark):
+    """An all-NULL-value cell merges like any stored NULL sketch: it
+    vanishes into non-NULL siblings, and a granularity cell is NULL only
+    when every contributing finest cell is NULL."""
+    from hllspark import sketches
+
+    rows = [("x", "a", None), ("x", "b", None), ("y", "a", 1), ("y", "b", 2)]
+    df = udaf_spark.createDataFrame(rows, "d1 string, d2 string, v long")
+    finest = sketches.build(df, "v", "minhash", by=["d1", "d2"], k=16)
+    cells = _cells(sketches.merge_stored_cube(finest, "minhash", ["d1", "d2"], mode="rollup"),
+                   ["d1", "d2"])
+    assert cells[("x", "a", 0)] is None and cells[("x", None, 1)] is None
+    assert cells[("y", None, 1)] is not None and cells[(None, None, 3)] is not None
+    with pytest.raises(ValueError, match="lacks dim"):
+        sketches.merge_stored_cube(finest, "minhash", ["d1", "nope"])
+
+
 def test_cube_estimates_within_bound(udaf_spark, sf001_dir):
     """Every granularity's estimate within the b=14 bound of the exact
     cube (computed by Spark's own countDistinct under the same cube)."""
