@@ -180,6 +180,28 @@ def q_cube_from_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grouping_id", "p", "s")
 
 
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.sample.stratified_sample: reproducible k-per-stratum sample
+    by hash rank.  The contract rows use an md5 rank BOTH engines can
+    compute, so DuckDB re-derives the exact same sampled (lang, doc_id)
+    set independently — row-for-row, not a pinned literal.  The fold plan
+    (bounded P×k-per-stratum candidates, the 100 TB path) is checked
+    in-query against the window plan on the default xxhash64 rank."""
+    from hllspark.pipeline.sample import stratified_sample
+
+    d = _read(spark, sf_dir, "documents")
+    rank = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("7")))
+    sampled = stratified_sample(d, ["lang"], 10, ["doc_id"], rank=rank, method="window")
+    fold = stratified_sample(d, ["lang"], 10, ["doc_id"], seed=7, method="fold")
+    win = stratified_sample(d, ["lang"], 10, ["doc_id"], seed=7, method="window")
+    f_keys = fold.select("lang", "doc_id")
+    w_keys = win.select("lang", "doc_id")
+    parity = f_keys.exceptAll(w_keys).unionAll(w_keys.exceptAll(f_keys)).isEmpty()
+    return sampled.select(
+        "lang", "doc_id", F.lit(bool(parity)).alias("fold_matches_window")
+    ).orderBy("lang", "doc_id")
+
+
 def q_distinct_users_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hllspark import agg
 
@@ -1285,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_custkey_by_priority": q_distinct_custkey_by_priority,
         "cube_distinct_rollups": q_cube_distinct_rollups,
         "cube_from_stored": q_cube_from_stored,
+        "stratified_sample_documents": q_stratified_sample_documents,
         "distinct_users_by_event_type": q_distinct_users_by_event_type,
         "distinct_partsupp_pairs": q_distinct_partsupp_pairs,
         "reagg_stored_sketches": q_reagg_stored_sketches,
@@ -1367,6 +1390,12 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT o_custkey) AS exact_cnt, TRUE AS within_bound, TRUE AS matches_direct "
             "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) "
             "ORDER BY grouping_id, p, s"
+        ),
+        "stratified_sample_documents": (
+            "SELECT lang, doc_id, TRUE AS fold_matches_window FROM ("
+            "SELECT lang, doc_id, row_number() OVER ("
+            "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 10 ORDER BY lang, doc_id"
         ),
         "distinct_partsupp_pairs": (
             "SELECT count(DISTINCT concat(l_partkey, '|', l_suppkey)) AS exact_cnt, TRUE AS within_bound "
