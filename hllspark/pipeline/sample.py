@@ -61,11 +61,18 @@ def _bottom_k_fold(strata: list[str], keys: list[str], k: int):
 
         for batch in batches:
             schema = batch.schema
-            pdf = batch.to_pandas()
+            # Arrow-backed dtypes: plain to_pandas() degrades an int64
+            # column WITH NULLS to float64, silently rounding the low bits
+            # of large keys (the round-4 minhash landmine) — ArrowDtype
+            # keeps nullable int64 lossless through sort/groupby/concat
+            pdf = batch.to_pandas(types_mapper=pd.ArrowDtype)
             part = prune(pdf)
             buf = part if buf is None else prune(pd.concat([buf, part], ignore_index=True))
         if buf is not None and len(buf):
-            yield pa.RecordBatch.from_pandas(buf, schema=schema, preserve_index=False)
+            # Table, not RecordBatch: concat'd ArrowDtype columns convert
+            # to ChunkedArrays, which RecordBatch.from_pandas rejects
+            tbl = pa.Table.from_pandas(buf, schema=schema, preserve_index=False)
+            yield from tbl.combine_chunks().to_batches()
 
     return fold
 
@@ -127,6 +134,12 @@ def stratified_sample(
     picked = (
         cand.withColumn(_RN, F.row_number().over(win))
         .where(F.col(_RN) <= k)
-        .select(*key_cols)
+        .select(*[F.col(c).alias(f"__pk_{c}") for c in key_cols])
     )
-    return df.join(picked, on=key_cols, how="left_semi")
+    # null-safe equi-join (still a hash join): a NULL key can legitimately
+    # win its stratum's draw, and `=` would silently drop it
+    cond = None
+    for c in key_cols:
+        eq = df[c].eqNullSafe(picked[f"__pk_{c}"])
+        cond = eq if cond is None else cond & eq
+    return df.join(picked, on=cond, how="left_semi")

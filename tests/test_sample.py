@@ -85,6 +85,23 @@ def test_md5_rank_matches_independent_derivation(docs):
     assert got == sorted(expect)
 
 
+def test_null_and_big_keys_lossless(spark):
+    """NULL strata stay their own stratum; NULL and >2^53 keys survive the
+    fold kernel losslessly (plain to_pandas would degrade a null-bearing
+    int64 column to float64 and round big keys — the round-4 minhash
+    landmine class)."""
+    big = (1 << 62) + 12345
+    rows = [("a", big), ("a", None), ("b", 7), (None, 8), (None, 9)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long").repartition(3)
+    out = stratified_sample(df, ["lang"], 2, ["doc_id"], seed=0, method="fold")
+    got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    win = {(r["lang"], r["doc_id"]) for r in
+           stratified_sample(df, ["lang"], 2, ["doc_id"], seed=0, method="window").collect()}
+    assert got == win
+    assert (None, 8) in got and (None, 9) in got
+    assert ("a", big) in got  # k=2 takes the whole 'a' stratum, lossless
+
+
 def test_validation(docs):
     with pytest.raises(ValueError, match="k must be positive"):
         stratified_sample(docs, ["lang"], 0, ["doc_id"])
