@@ -167,8 +167,23 @@ def clz64(x: np.ndarray) -> np.ndarray:
 
 
 def clz32(x: np.ndarray) -> np.ndarray:
-    """Count leading zeros of each uint32; returns 32 for x == 0."""
-    return (clz64(x.astype(np.uint64)) - np.uint8(32)).astype(np.uint8)
+    """Count leading zeros of each uint32; returns 32 for x == 0.
+
+    Native 32-bit SWAR (smear + popcount) rather than widening to the uint64
+    kernel: half the memory traffic on the sparse-decode hot path
+    (decode_encodes over multi-million-entry batch unions)."""
+    x = x.astype(np.uint32, copy=True)
+    x |= x >> np.uint32(1)
+    x |= x >> np.uint32(2)
+    x |= x >> np.uint32(4)
+    x |= x >> np.uint32(8)
+    x |= x >> np.uint32(16)
+    # popcount(x) == bit_length of original
+    x -= (x >> np.uint32(1)) & np.uint32(0x55555555)
+    x = (x & np.uint32(0x33333333)) + ((x >> np.uint32(2)) & np.uint32(0x33333333))
+    x = (x + (x >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    bl = (x * np.uint32(0x01010101)) >> np.uint32(24)
+    return (np.uint32(32) - bl).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -596,6 +596,84 @@ class HLL:
 # -- pairwise/estimate helpers used by the Spark functions layer -------------
 
 
+def merge_blobs(blobs) -> HLL | None:
+    """Vectorized register-max union of many serialized counters.
+
+    Semantically identical to folding ``HLL.from_bytes`` + ``merge`` over the
+    sequence — merge determinism makes the canonical state a pure function of
+    the value SET, so one batched union equals every pairwise merge order —
+    but the whole batch is decoded and unioned in a handful of numpy passes:
+    sparse payloads concatenate into one ``np.unique`` and dense registers
+    fold through one running ``np.maximum``.  The sequential path pays
+    ~30-60 µs of object/`union1d`/`maximum.at` overhead per blob, which
+    dominates stored-rollup re-aggregation at 10^5 sketches (measured ~6 s
+    for 100k blobs vs ~0.3 s here).  NULL (None) rows are skipped; an
+    all-None input returns None (SQL NULL contract).
+    """
+    params: tuple[int, int, int] | None = None
+    chunks: list[np.ndarray] = []
+    regs: np.ndarray | None = None
+    for data in blobs:
+        if data is None:
+            continue
+        data = bytes(data)
+        version, b, binbits, flags, idx = _HEADER.unpack_from(data, 0)
+        if (
+            version > STRUCT_VERSION
+            or (flags & ~_KNOWN_FLAGS)
+            or (flags & (_FLAG_PACKED | _FLAG_DEFLATE))
+        ):
+            # rare payload forms (bit-packed / deflated dense) and the error
+            # cases route through the reference decoder so unsupported
+            # versions/flags raise the exact same messages
+            s = HLL.from_bytes(data)
+            b, binbits, hk = s.b, s.binbits, s.hash_kind
+            dense, sparse = s.dense, s.sparse
+        else:
+            hk = (flags & _HASH_KIND_MASK) >> _HASH_KIND_SHIFT
+            if flags & _FLAG_DENSE:
+                dense = np.frombuffer(data, dtype=np.uint8, count=1 << b, offset=_HEADER.size)
+                sparse = None
+            elif flags & _FLAG_VARINT:
+                dense = None
+                sparse = decompress_sparse(data[_HEADER.size :], idx)
+            else:
+                dense = None
+                sparse = np.frombuffer(data, dtype="<u4", count=idx, offset=_HEADER.size)
+        if params is None:
+            params = (b, binbits, hk)
+        else:  # same checks + messages as HLL.merge, in blob order
+            if params[0] != b:
+                raise ValueError(f"index size of estimators differs ({params[0]} != {b})")
+            if params[1] != binbits:
+                raise ValueError(f"bin size of estimators differs ({params[1]} != {binbits})")
+            if params[2] != hk:
+                raise ValueError(f"hash kind of estimators differs ({params[2]} != {hk})")
+        if dense is not None:
+            if regs is None:
+                regs = dense.astype(np.uint8, copy=True)
+            else:
+                np.maximum(regs, dense, out=regs)
+        elif len(sparse):
+            chunks.append(sparse)
+    if params is None:
+        return None
+    b, binbits, hk = params
+    enc = None
+    if chunks:
+        enc = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+    if regs is None:
+        uniq = np.unique(enc) if enc is not None else np.empty(0, dtype=np.uint32)
+        if len(uniq) <= sparse_capacity(b):
+            return HLL(b, binbits, uniq.astype(np.uint32, copy=False), None, hk)
+        regs = np.zeros(1 << b, dtype=np.uint8)
+        enc = uniq
+    if enc is not None:
+        i, r = decode_encodes(enc, b, binbits)
+        np.maximum.at(regs, i, r)
+    return HLL(b, binbits, None, regs, hk)
+
+
 def union(a: HLL, b_: HLL) -> HLL:
     return a.copy().merge(b_)
 

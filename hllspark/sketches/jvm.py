@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, StructField, StructType
+from pyspark.sql.types import BinaryType, BooleanType, StructField, StructType
 
 from ..core.hll import HASH_XXHASH_SPARK
 from .bloom import Bloom
@@ -164,11 +164,22 @@ def _value_counts(df: DataFrame, value_col: str, by: Sequence[str]) -> DataFrame
     return vals.groupBy(*by, "__v").agg(F.count("*").alias("__n"))
 
 
-def _quantile_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None, make, insert) -> DataFrame:
+def _quantile_jvm(
+    df: DataFrame, value_col: str, by: Sequence[str] | None, make, insert, presort: bool = True
+) -> DataFrame:
     """Shared frame for tdigest_jvm / kll_jvm: JVM value-count reduction →
-    one pandas finalize task per key, fed SORTED (value, count) pairs so the
-    sketch is a deterministic function of the value multiset (stronger than
-    the python engine, whose result depends on partition batching).
+    one pandas finalize task per key, fed canonically SORTED (value, count)
+    pairs so the sketch is a deterministic function of the value multiset
+    (stronger than the python engine, whose result depends on partition
+    batching).
+
+    ``presort=False`` skips the finalize-side argsort for sketches whose
+    ``update_weighted`` canonicalizes order itself (TDigest stable-argsorts
+    internally, so sorting here was a redundant O(n log n) pass over the
+    distinct values — ~2 s of the continuous-column bench query; bytes are
+    identical because a stable argsort of the same array is the same
+    permutation).  KLL keeps ``presort=True``: its level buffers append in
+    input order, so the external sort IS the canonical-order guarantee.
 
     Scale envelope: the finalize task for a key sees that key's DISTINCT
     values.  Right-sized for discrete/low-cardinality numeric columns
@@ -178,32 +189,66 @@ def _quantile_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None, make,
     """
     by = list(by or [])
     counted = _value_counts(df, value_col, by)
+
+    def _fold(st, v: np.ndarray, n: np.ndarray) -> None:
+        if presort:
+            order = np.argsort(v, kind="stable")  # shuffle order → canonical order
+            v, n = v[order], n[order]
+        insert(st, v, n)
+
+    if by:
+        def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+            valid = pdf["__v"].notna()
+            if not valid.any():
+                # zero ingestible values → SQL NULL sketch (strict-agg contract)
+                return pd.DataFrame({**_keyrow(pdf, by), "sketch": [None]})
+            st = make()
+            v = pdf.loc[valid, "__v"].to_numpy(np.float64)
+            n = pdf.loc[valid, "__n"].to_numpy(np.float64).astype(np.int64)
+            _fold(st, v, n)
+            return pd.DataFrame({**_keyrow(pdf, by), "sketch": [st.to_bytes()]})
+
+        return counted.groupBy(*by).applyInPandas(assemble, schema=_out_schema(df, by))
+
+    # global: ship the (value, count) rows through ONE exchange into a single
+    # fold task via repartition(1) + mapInPandas.  The previous dummy-key
+    # groupBy().applyInPandas moved the same rows but added the grouped-map
+    # machinery (constant-key sort, whole-group materialization); mapInPandas
+    # streams Arrow batches straight into numpy.
     g = "__g"
-    keys = by or [g]
-    if not by:
-        counted = counted.withColumn(g, F.lit(True))
-    schema_src = df if by else df.withColumn(g, F.lit(True))
+    sk_schema = StructType(
+        [StructField(g, BooleanType(), False), StructField("sketch", BinaryType(), True)]
+    )
 
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        valid = pdf["__v"].notna()
-        if not valid.any():
-            # zero ingestible values → SQL NULL sketch (strict-agg contract)
-            return pd.DataFrame({**_keyrow(pdf, keys), "sketch": [None]})
-        st = make()
-        v = pdf.loc[valid, "__v"].to_numpy(np.float64)
-        n = pdf.loc[valid, "__n"].to_numpy(np.float64).astype(np.int64)
-        order = np.argsort(v, kind="stable")  # shuffle order → canonical order
-        insert(st, v[order], n[order])
-        return pd.DataFrame({**_keyrow(pdf, keys), "sketch": [st.to_bytes()]})
+    def fold_global(batches):
+        vs: list[np.ndarray] = []
+        ns: list[np.ndarray] = []
+        for pdf in batches:
+            vs.append(pdf["__v"].to_numpy(np.float64))
+            ns.append(pdf["__n"].to_numpy(np.float64))
+        if vs:
+            v = np.concatenate(vs) if len(vs) > 1 else vs[0]
+            n = np.concatenate(ns) if len(ns) > 1 else ns[0]
+            # the NULL row from _value_counts' NaN/NULL collapse arrives as
+            # numpy nan (pandas null→float64) — same drop as .notna()
+            valid = ~np.isnan(v)
+            if valid.any():
+                if not valid.all():
+                    v, n = v[valid], n[valid]
+                st = make()
+                _fold(st, v, n.astype(np.int64))
+                yield pd.DataFrame({g: [True], "sketch": [st.to_bytes()]})
+                return
+        # all ingestible values NULL → one row with a SQL NULL sketch
+        yield pd.DataFrame({g: [True], "sketch": [None]})
 
-    out = counted.groupBy(*keys).applyInPandas(assemble, schema=_out_schema(schema_src, keys))
-    if not by:
-        # zero input rows → the dummy group never exists; restore a single
-        # row with a SQL NULL sketch (aggregate over zero rows)
-        spark = df.sparkSession
-        one = spark.range(1).select(F.lit(True).alias(g))
-        out = one.join(F.broadcast(out), on=g, how="left").drop(g)
-    return out
+    out = counted.repartition(1).mapInPandas(fold_global, schema=sk_schema)
+    # zero INPUT rows: AQE propagates the empty relation through the fold
+    # (the Python task never runs), so restore the single NULL-sketch row
+    # with a 1×≤1 broadcast join (aggregate-over-zero-rows contract)
+    spark = df.sparkSession
+    one = spark.range(1).select(F.lit(True).alias(g))
+    return one.join(F.broadcast(out), on=g, how="left").drop(g)
 
 
 def tdigest_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None = None, delta: int = 100) -> DataFrame:
@@ -215,6 +260,9 @@ def tdigest_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None = None, 
         df, value_col, by,
         lambda: TDigest.create(delta=delta),
         lambda st, v, n: st.update_weighted(v, n.astype(np.float64)),
+        # update_weighted stable-argsorts internally — presorting here would
+        # be a second O(n log n) pass for the same bytes (see _quantile_jvm)
+        presort=False,
     )
 
 

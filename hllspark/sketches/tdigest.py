@@ -85,13 +85,17 @@ class TDigest:
         vals = np.asarray(vals, dtype=np.float64)
         weights = np.asarray(weights, dtype=np.float64)
         ok = np.isfinite(vals) & (weights > 0)
-        vals, weights = vals[ok], weights[ok]
+        if not ok.all():  # gather only when something is actually dropped —
+            vals, weights = vals[ok], weights[ok]  # two full copies otherwise
         if len(vals) == 0:
             return
         self.vmin = min(self.vmin, float(vals.min()))
         self.vmax = max(self.vmax, float(vals.max()))
-        m = np.concatenate([self.means, vals])
-        w = np.concatenate([self.weights, weights])
+        if len(self.means):
+            m = np.concatenate([self.means, vals])
+            w = np.concatenate([self.weights, weights])
+        else:  # fresh digest (the JVM-builder fold): no empty-concat copies
+            m, w = vals, weights
         order = np.argsort(m, kind="stable")
         self._compress(m[order], w[order])
 
