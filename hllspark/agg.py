@@ -672,6 +672,10 @@ def sketch_cube(
     reads rather than cubing many dims (the Expand multiplier IS the cost
     model; guarded at n > 8)."""
     dims, resolved = _resolve_grouping_sets(dims, sets, mode)
+    if value_col in dims:
+        # would duplicate the column in df.select(value_col, *dims) and
+        # surface later as a confusing ambiguous-reference analysis error
+        raise ValueError(f"value_col {value_col!r} cannot also be a dim column")
     if engine == "auto":
         engine = "jvm_udaf" if _udaf_available(df.sparkSession) else "jvm"
     if finalize not in ("sketch", "estimate", "estimate_bigint"):

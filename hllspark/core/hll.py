@@ -674,6 +674,139 @@ def merge_blobs(blobs) -> HLL | None:
     return HLL(b, binbits, None, regs, hk)
 
 
+def _sparse_fast_header(data: bytes):
+    """(b, binbits, hash_kind, n) when ``data`` is a decodable SPARSE blob
+    (raw or group-varint — for both, the header's idx field IS the sorted-
+    unique entry count), else None.  The sparse estimate depends only on
+    (n, binbits), so readers can skip the payload decode entirely."""
+    version, b, binbits, flags, idx = _HEADER.unpack_from(data, 0)
+    if version > STRUCT_VERSION or (flags & ~_KNOWN_FLAGS) or (flags & _FLAG_DENSE):
+        return None
+    return b, binbits, (flags & _HASH_KIND_MASK) >> _HASH_KIND_SHIFT, idx
+
+
+def estimate_blobs(blobs) -> list:
+    """Batched ``hyperloglog_get_estimate`` over serialized counters.
+
+    Row-for-row identical to ``HLL.from_bytes(v).estimate()`` — sparse blobs
+    estimate from the header's entry count alone (no payload decode), with
+    the linear-counting ``math.log`` evaluated once per distinct
+    (n, binbits) so the arithmetic is the exact scalar path; dense and
+    unusual payloads fall back per row.  None rows stay None."""
+    out: list = [None] * len(blobs)
+    groups: dict = {}
+    for i, v in enumerate(blobs):
+        if v is None:
+            continue
+        data = bytes(v)
+        fast = _sparse_fast_header(data)
+        if fast is None:
+            out[i] = HLL.from_bytes(data).estimate()
+        else:
+            groups.setdefault((fast[3], fast[1]), []).append(i)
+    for (n, binbits), pos in groups.items():
+        e = _estimate_sparse(n, binbits)
+        for i in pos:
+            out[i] = e
+    return out
+
+
+def union_estimate_blobs(a, b) -> list:
+    """Batched ``hyperloglog_union`` estimate over two blob columns.
+
+    Per-row semantics identical to the pairwise path (one NULL → the
+    survivor's estimate, both NULL → None, param mismatches raise the merge
+    errors).  Fast path: both sides sparse with matching params — the union
+    cardinality is |A| + |B| − |A ∩ B| with the intersection counted by one
+    vectorized ``searchsorted`` over row-composite keys (both sides are
+    sorted-unique, so (row << 32) | enc is globally sorted with NO extra
+    sort); rows whose union exceeds sparse capacity, or with any dense/odd
+    payload, fall back to the object path."""
+    n_rows = len(a)
+    out: list = [None] * n_rows
+    rows_a: list = []
+    enc_a: list = []
+    rows_b: list = []
+    enc_b: list = []
+    fast_rows: list = []
+    na = np.zeros(n_rows, dtype=np.int64)
+    nb = np.zeros(n_rows, dtype=np.int64)
+    params: list = [None] * n_rows
+
+    def _slow(i, x, y):
+        if x is None and y is None:
+            return
+        if y is None or x is None:
+            out[i] = HLL.from_bytes(bytes(x if x is not None else y)).estimate()
+            return
+        sx = HLL.from_bytes(bytes(x))
+        out[i] = sx.merge(HLL.from_bytes(bytes(y))).estimate()
+
+    single: dict = {}
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x is None and y is None:
+            continue
+        if x is None or y is None:
+            data = bytes(x if x is not None else y)
+            fast = _sparse_fast_header(data)
+            if fast is None:
+                out[i] = HLL.from_bytes(data).estimate()
+            else:
+                single.setdefault((fast[3], fast[1]), []).append(i)
+            continue
+        dx, dy = bytes(x), bytes(y)
+        fx, fy = _sparse_fast_header(dx), _sparse_fast_header(dy)
+        if (
+            fx is None
+            or fy is None
+            or fx[:3] != fy[:3]
+            or fx[3] + fy[3] > sparse_capacity(fx[0])
+        ):
+            _slow(i, dx, dy)  # dense/odd payloads, mismatches, possible promotion
+            continue
+        ha, hb = _HEADER.unpack_from(dx, 0), _HEADER.unpack_from(dy, 0)
+        ea = (
+            decompress_sparse(dx[_HEADER.size :], ha[4])
+            if ha[3] & _FLAG_VARINT
+            else np.frombuffer(dx, dtype="<u4", count=ha[4], offset=_HEADER.size)
+        )
+        eb = (
+            decompress_sparse(dy[_HEADER.size :], hb[4])
+            if hb[3] & _FLAG_VARINT
+            else np.frombuffer(dy, dtype="<u4", count=hb[4], offset=_HEADER.size)
+        )
+        r = len(fast_rows)
+        fast_rows.append(i)
+        params[i] = fx[1]  # binbits
+        na[i], nb[i] = len(ea), len(eb)
+        rows_a.append(np.full(len(ea), r, dtype=np.int64))
+        enc_a.append(ea)
+        rows_b.append(np.full(len(eb), r, dtype=np.int64))
+        enc_b.append(eb)
+
+    for (n, binbits), pos in single.items():
+        e = _estimate_sparse(n, binbits)
+        for i in pos:
+            out[i] = e
+
+    if fast_rows:
+        ca = (np.concatenate(rows_a) << np.int64(32)) | np.concatenate(enc_a).astype(np.int64)
+        cb = (np.concatenate(rows_b) << np.int64(32)) | np.concatenate(enc_b).astype(np.int64)
+        pos = np.searchsorted(cb, ca)
+        pos_c = np.minimum(pos, len(cb) - 1)
+        hit = (pos < len(cb)) & (cb[pos_c] == ca)
+        common = np.bincount((ca[hit] >> np.int64(32)), minlength=len(fast_rows))
+        groups: dict = {}
+        for r, i in enumerate(fast_rows):
+            u = int(na[i] + nb[i] - common[r])
+            groups.setdefault((u, params[i]), []).append(i)
+        for (u, binbits), pos_list in groups.items():
+            e = _estimate_sparse(u, binbits)
+            for i in pos_list:
+                out[i] = e
+    return out
+
+
 def union(a: HLL, b_: HLL) -> HLL:
     return a.copy().merge(b_)
 

@@ -94,14 +94,22 @@ def build_sketch(s: pd.Series, b: int = DEFAULT_B, binbits: int = DEFAULT_BINBIT
 
 @pandas_udf(DoubleType())
 def hll_estimate(sketch: pd.Series) -> pd.Series:
-    """# operator / hyperloglog_get_estimate: NULL in → NULL out."""
-    return sketch.map(lambda v: None if v is None else HLL.from_bytes(bytes(v)).estimate())
+    """# operator / hyperloglog_get_estimate: NULL in → NULL out.
+
+    Batched via core.hll.estimate_blobs — sparse rows estimate from the
+    header alone (same arithmetic, evaluated once per distinct entry
+    count), so a 10^5-row stored-rollup read does a handful of ``log``
+    calls instead of 10^5 payload decodes."""
+    return pd.Series(hllmod.estimate_blobs(sketch), index=sketch.index, dtype="object")
 
 
 @pandas_udf(LongType())
 def hll_estimate_bigint(sketch: pd.Series) -> pd.Series:
     """round(estimate)::bigint with NULL→0 (postgres.sql:169-171)."""
-    return sketch.map(lambda v: 0 if v is None else int(round(HLL.from_bytes(bytes(v)).estimate()))).astype("int64")
+    ests = hllmod.estimate_blobs(sketch)
+    return pd.Series(
+        [0 if e is None else int(round(e)) for e in ests], index=sketch.index, dtype="int64"
+    )
 
 
 def _pairwise(a: pd.Series, b: pd.Series, fn, null_passthrough: bool = True):
@@ -130,9 +138,10 @@ def hll_union(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def hll_union_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
-    def f(x, y):
-        return x.estimate() if y is None else hllmod.union_estimate(x, y)
-    return pd.Series(_pairwise(a, b, f), dtype="float64")
+    """Batched via core.hll.union_estimate_blobs: sparse pairs count their
+    union with one vectorized searchsorted over the whole batch (identical
+    values/NULL semantics/errors to the pairwise object path)."""
+    return pd.Series(hllmod.union_estimate_blobs(a, b), dtype="float64")
 
 
 @pandas_udf(DoubleType())

@@ -110,6 +110,14 @@ def stratified_sample(
     missing = [c for c in (*by, *key_cols) if c not in df.columns]
     if missing:
         raise ValueError(f"input lacks columns {missing}")
+    internal = [c for c in (_RANK, _RN) if c in df.columns]
+    if internal:
+        # the window method withColumn/drops these names — a user column
+        # would be silently overwritten and removed from the output
+        raise ValueError(
+            f"input columns {internal} collide with stratified_sample's "
+            "internal working columns; rename them first"
+        )
     if rank is not None and method != "window":
         raise ValueError(
             "a custom rank is window-only: the fold kernel folds the "

@@ -139,6 +139,10 @@ def build_cube(
     if kind not in _KINDS:
         raise ValueError(f"unknown sketch kind {kind!r}; expected one of {_KINDS}")
     dims, resolved = _resolve_grouping_sets(dims, sets, mode)
+    if value_col in dims:
+        # duplicate column in the Expand projection → confusing downstream
+        # ambiguous-reference analysis error; refuse up front
+        raise ValueError(f"value_col {value_col!r} cannot also be a dim column")
     if kind == "theta" and engine in ("jvm", "jvm_udaf"):
         raise ValueError(
             "theta sketches have no Catalyst/aggregate-buffer engine: "
@@ -267,6 +271,8 @@ def merge_stored_cube(
     from ..agg import _expand_grouping_sets, _resolve_grouping_sets
 
     dims, resolved = _resolve_grouping_sets(dims, sets, mode)
+    if sketch_col in dims:
+        raise ValueError(f"sketch_col {sketch_col!r} cannot also be a dim column")
     missing = [d for d in dims if d not in df.columns]
     if missing:
         raise ValueError(f"stored table lacks dim columns {missing}")

@@ -108,8 +108,12 @@ public final class HllRegisterAggregator
     }
 
     private void grow() {
+      resize(table.length * 2);
+    }
+
+    private void resize(int newSize) {
       int[] old = table;
-      table = new int[old.length * 2];
+      table = new int[newSize];
       int m = table.length - 1;
       for (int e : old) {
         if (e == 0) continue;
@@ -117,6 +121,18 @@ public final class HllRegisterAggregator
         while (table[i] != 0) i = (i + 1) & m;
         table[i] = e;
       }
+    }
+
+    /** Grow once to fit ~extra more entries (same ×4/3 load-factor bound as
+     *  insertSparse) instead of walking the 8→16→…→N doubling chain with a
+     *  full rehash per step — the buffer-merge path of a grouped final
+     *  aggregate folds hundreds of partial tables per key, and the chained
+     *  rehashes roughly double its insert work. */
+    void reserve(int extra) {
+      int need = n + extra;
+      int size = table.length;
+      while (size * 3 < (need + 1) * 4) size *= 2;
+      if (size > table.length) resize(size);
     }
 
     /** sparse_to_dense decode of one encoding (hyperloglog.c:741-755),
@@ -257,6 +273,9 @@ public final class HllRegisterAggregator
         if ((c.dense[i] & 0xff) > (a.dense[i] & 0xff)) a.dense[i] = c.dense[i];
       }
     } else if (c.table != null) {
+      if (a.dense == null && c.n + a.n <= a.cap) {
+        a.reserve(c.n);
+      }
       for (int e : c.table) {
         if (e != 0) a.addEnc(e);
       }

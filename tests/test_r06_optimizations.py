@@ -1,0 +1,145 @@
+"""Round-6 optimization-parity tests: the vectorized batch kernels must be
+byte-/value-identical to the sequential object paths they replaced, and the
+new input guards must refuse the ambiguous shapes loudly."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hllspark.core.hll import (
+    HLL,
+    estimate_blobs,
+    merge_blobs,
+    union_estimate_blobs,
+)
+import hllspark.core.hll as hllmod
+
+
+def _mk(n, b=14, binbits=6, hk=1, compress=False, seed=0):
+    h = (
+        np.random.default_rng(seed).integers(0, 2**63, size=n, dtype=np.uint64)
+        if n
+        else np.empty(0, np.uint64)
+    )
+    s = HLL.create(b=b, binbits=binbits, hash_kind=hk)
+    s.add_hashes(h)
+    return s.to_bytes(compress=compress)
+
+
+def _seq_merge(blobs):
+    acc = None
+    for v in blobs:
+        if v is None:
+            continue
+        s = HLL.from_bytes(bytes(v))
+        acc = s if acc is None else acc.merge(s)
+    return None if acc is None else acc.to_bytes()
+
+
+def test_merge_blobs_matches_sequential_fold_across_payload_forms():
+    rng = np.random.default_rng(0)
+    cases = [
+        [None, None],
+        [_mk(0)] * 3,  # empty sparse counters round-trip
+        [_mk(int(rng.integers(0, 900)), seed=i) for i in range(100)],  # stays/exceeds sparse
+        [_mk(300, seed=i, compress=True) for i in range(40)],  # group-varint payloads
+        [_mk(5000, seed=1), _mk(100, seed=2), None, _mk(50, seed=3, compress=True)],  # dense mix
+        [HLL.from_bytes(_mk(3000, seed=1)).to_bytes(compress=True), _mk(50, seed=2)],  # deflate
+        [HLL.from_bytes(_mk(3000, seed=1)).to_bytes(packed=False), _mk(50, seed=2)],  # unpacked
+        [_mk(100, seed=9)] * 50,  # heavy overlap stays sparse
+        [_mk(80, b=8, binbits=5, hk=0, seed=i) for i in range(30)],  # non-default params
+    ]
+    for blobs in cases:
+        m = merge_blobs(blobs)
+        assert _seq_merge(blobs) == (None if m is None else m.to_bytes())
+
+
+def test_merge_blobs_mismatch_errors_match_pairwise_merge():
+    for mut, frag in [({"b": 15}, "index size"), ({"binbits": 5}, "bin size"), ({"hk": 0}, "hash kind")]:
+        blobs = [_mk(10, seed=1), _mk(10, seed=2, **mut)]
+        with pytest.raises(ValueError, match=frag) as vec_err:
+            merge_blobs(blobs)
+        with pytest.raises(ValueError) as seq_err:
+            _seq_merge(blobs)
+        assert str(vec_err.value) == str(seq_err.value)
+
+
+def test_estimate_blobs_matches_object_path():
+    rng = np.random.default_rng(1)
+    blobs = [None]
+    for i in range(60):
+        blobs.append(_mk(int(rng.integers(0, 1100)), seed=i, compress=bool(i % 2)))
+    blobs.append(_mk(4000, seed=99))  # dense fallback row
+    expected = [None if v is None else HLL.from_bytes(bytes(v)).estimate() for v in blobs]
+    assert estimate_blobs(blobs) == expected
+
+
+def test_union_estimate_blobs_matches_pairwise_path():
+    rng = np.random.default_rng(2)
+    A, B = [], []
+    for i in range(80):
+        k = i % 6
+        if k == 0:
+            A.append(None), B.append(None)
+        elif k == 1:
+            A.append(None), B.append(_mk(200, seed=i))
+        elif k == 2:
+            A.append(_mk(150, seed=i, compress=True)), B.append(None)
+        elif k == 3:  # union crosses sparse capacity → promotion fallback
+            A.append(_mk(600, seed=i)), B.append(_mk(600, seed=i + 1))
+        elif k == 4:  # dense side → object fallback
+            A.append(_mk(3000, seed=i)), B.append(_mk(100, seed=i + 1))
+        else:
+            A.append(_mk(int(rng.integers(0, 400)), seed=i)), B.append(
+                _mk(int(rng.integers(0, 400)), seed=i + 1, compress=True)
+            )
+
+    def ref(x, y):
+        if x is None and y is None:
+            return None
+        if x is None or y is None:
+            return HLL.from_bytes(bytes(x if x is not None else y)).estimate()
+        return hllmod.union_estimate(HLL.from_bytes(bytes(x)), HLL.from_bytes(bytes(y)))
+
+    assert union_estimate_blobs(A, B) == [ref(x, y) for x, y in zip(A, B)]
+    with pytest.raises(ValueError, match="index size"):
+        union_estimate_blobs([_mk(5, b=14)], [_mk(5, b=15)])
+
+
+def test_tdigest_update_weighted_order_canonicalization():
+    # the JVM-builder fold now feeds update_weighted UNSORTED (value, count)
+    # pairs; its internal stable argsort must yield the same bytes as the
+    # previously-external presort (distinct values → unique total order)
+    from hllspark.sketches.tdigest import TDigest
+
+    rng = np.random.default_rng(3)
+    v = rng.permutation(rng.uniform(-1e9, 1e9, size=5000))
+    n = rng.integers(1, 50, size=5000).astype(np.float64)
+    a = TDigest.create(delta=100)
+    a.update_weighted(v, n)
+    order = np.argsort(v, kind="stable")
+    b = TDigest.create(delta=100)
+    b.update_weighted(v[order], n[order])
+    assert a.to_bytes() == b.to_bytes()
+
+
+def test_cube_value_col_in_dims_refused(spark):
+    from hllspark import agg
+    from hllspark.sketches import router
+
+    df = spark.createDataFrame([(1, "a")], "v long, d string")
+    with pytest.raises(ValueError, match="cannot also be a dim"):
+        agg.sketch_cube(df, "v", ["v", "d"])
+    with pytest.raises(ValueError, match="cannot also be a dim"):
+        router.build_cube(df, "v", "countmin", ["v", "d"])
+    stored = spark.createDataFrame([("a", bytearray(b""))], "sketch string, d string")
+    with pytest.raises(ValueError, match="cannot also be a dim"):
+        router.merge_stored_cube(stored, "hll", ["sketch", "d"])
+
+
+def test_stratified_sample_internal_column_collision_refused(spark):
+    from hllspark.pipeline.sample import stratified_sample
+
+    df = spark.createDataFrame([(1, "a", 0)], "id long, s string, __rank long")
+    with pytest.raises(ValueError, match="internal working columns"):
+        stratified_sample(df, ["s"], 1, ["id"], method="window")
