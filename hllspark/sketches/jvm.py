@@ -173,13 +173,12 @@ def _quantile_jvm(
     (stronger than the python engine, whose result depends on partition
     batching).
 
-    ``presort=False`` skips the finalize-side argsort for sketches whose
-    ``update_weighted`` canonicalizes order itself (TDigest stable-argsorts
-    internally, so sorting here was a redundant O(n log n) pass over the
-    distinct values — ~2 s of the continuous-column bench query; bytes are
-    identical because a stable argsort of the same array is the same
-    permutation).  KLL keeps ``presort=True``: its level buffers append in
-    input order, so the external sort IS the canonical-order guarantee.
+    ``presort=True`` (both builders) sorts in the fold with numpy's fast
+    introsort — byte-safe because the values are distinct here, see _fold —
+    which for KLL IS the canonical-order guarantee (level buffers append in
+    input order) and for TDigest turns its internal stable argsort into a
+    ~free adaptive pass.  ``presort=False`` remains for insert functions
+    that canonicalize order themselves on possibly-duplicated values.
 
     Scale envelope: the finalize task for a key sees that key's DISTINCT
     values.  Right-sized for discrete/low-cardinality numeric columns
@@ -192,7 +191,12 @@ def _quantile_jvm(
 
     def _fold(st, v: np.ndarray, n: np.ndarray) -> None:
         if presort:
-            order = np.argsort(v, kind="stable")  # shuffle order → canonical order
+            # shuffle order → canonical ascending order.  Introsort (default
+            # kind), not stable: the values here are structurally DISTINCT
+            # (this is groupBy(__v) output), so every correct sort is the
+            # same permutation — and introsort measured 3× faster than the
+            # stable sort at 8M doubles (the continuous-column fold task).
+            order = np.argsort(v)
             v, n = v[order], n[order]
         insert(st, v, n)
 
@@ -260,9 +264,12 @@ def tdigest_jvm(df: DataFrame, value_col: str, by: Sequence[str] | None = None, 
         df, value_col, by,
         lambda: TDigest.create(delta=delta),
         lambda st, v, n: st.update_weighted(v, n.astype(np.float64)),
-        # update_weighted stable-argsorts internally — presorting here would
-        # be a second O(n log n) pass for the same bytes (see _quantile_jvm)
-        presort=False,
+        # presort with _fold's fast introsort: update_weighted's internal
+        # STABLE argsort is adaptive (~free) on already-sorted input, so the
+        # pair costs ~introsort alone — vs the full-price stable sort it
+        # would otherwise run on shuffle-ordered values.  Bytes unchanged
+        # either way (same permutation on distinct values).
+        presort=True,
     )
 
 

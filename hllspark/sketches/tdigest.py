@@ -96,8 +96,12 @@ class TDigest:
             w = np.concatenate([self.weights, weights])
         else:  # fresh digest (the JVM-builder fold): no empty-concat copies
             m, w = vals, weights
-        order = np.argsort(m, kind="stable")
-        self._compress(m[order], w[order])
+        if len(m) > 1 and not np.all(m[1:] >= m[:-1]):
+            order = np.argsort(m, kind="stable")
+            m, w = m[order], w[order]
+        # else: already ascending — the stable argsort would be the identity
+        # permutation, so sorting + two full gathers are pure copies skipped
+        self._compress(m, w)
 
     def update_arrow(self, arr, input_type: str = "auto") -> None:
         import pyarrow as pa
