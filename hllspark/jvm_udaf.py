@@ -244,18 +244,34 @@ def configure_builder(builder, extra_jars: Sequence[str] = ()):
     return builder.config("spark.jars", ",".join(seen))
 
 
+# (app_key, b, binbits) -> registered UserDefinedFunction.  The aggregator
+# object is stateless (b/binbits final fields; buffers come from zero() per
+# group), so one functions.udaf registration serves every query in the app —
+# building it costs ~5 py4j round trips (~30-50 ms of driver plan-build per
+# query otherwise, paid inside every timed rep).  Same single-live-app
+# eviction discipline as _SESSION_CACHE: a key miss after an app restart
+# clears refs into the dead JVM.
+_UDAF_COL_CACHE: dict[tuple, object] = {}
+
+
 def hll_udaf_column(spark: SparkSession, hash_col: Column, b: int, binbits: int) -> Column:
     """Aggregate Column: intermediate blob of HLL state over a 64-bit hash
     column (NULL hashes are ignored; an all-NULL group → empty blob)."""
-    jagg = _new_aggregator(spark, b, binbits)
-    if jagg is None:
-        raise RuntimeError(
-            "hllspark-udaf.jar not loadable in this session; create the session "
-            "with hllspark.jvm_udaf.configure_builder or use engine='jvm' "
-            "(the no-jar groupBy engine; byte-identical sketches)"
-        )
-    jvm = spark._jvm
-    judf = jvm.org.apache.spark.sql.functions.udaf(jagg, jvm.org.apache.spark.sql.Encoders.LONG())
+    key = (_app_key(spark), "hll", b, binbits)
+    judf = _UDAF_COL_CACHE.get(key)
+    if judf is None:
+        jagg = _new_aggregator(spark, b, binbits)
+        if jagg is None:
+            raise RuntimeError(
+                "hllspark-udaf.jar not loadable in this session; create the session "
+                "with hllspark.jvm_udaf.configure_builder or use engine='jvm' "
+                "(the no-jar groupBy engine; byte-identical sketches)"
+            )
+        jvm = spark._jvm
+        judf = jvm.org.apache.spark.sql.functions.udaf(jagg, jvm.org.apache.spark.sql.Encoders.LONG())
+        if any(k[0] != key[0] for k in _UDAF_COL_CACHE):
+            _UDAF_COL_CACHE.clear()  # single live app: drop dead-JVM refs
+        _UDAF_COL_CACHE[key] = judf
     return _to_col(judf.apply(_col_seq(spark, [hash_col])))
 
 
@@ -277,14 +293,23 @@ def _estimate_udf_column(spark: SparkSession, blob_col: Column) -> Column | None
     engine itself resolved (hll_udaf_column raised otherwise), only the
     finalize optimization is missing, and results are identical either way
     (the version-skew pattern: guard the calls, not the imports)."""
-    factory = _new_jvm_obj(spark, "hllsparkjvm.HllUdfs", [])
-    if factory is None:
-        return None
+    key = (_app_key(spark), "blob_estimate")
+    ju = _UDAF_COL_CACHE.get(key)
+    if ju is None:
+        factory = _new_jvm_obj(spark, "hllsparkjvm.HllUdfs", [])
+        if factory is None:
+            return None
+        try:
+            # overload selection happens in Java (HllUdfs.blobEstimate): py4j
+            # calling functions.udf(obj, dt) directly can bind the deprecated
+            # untyped-Scala overload, which Spark 4 rejects (UNTYPED_SCALA_UDF)
+            ju = factory.blobEstimate()
+        except Exception:
+            return None
+        if any(k[0] != key[0] for k in _UDAF_COL_CACHE):
+            _UDAF_COL_CACHE.clear()
+        _UDAF_COL_CACHE[key] = ju
     try:
-        # overload selection happens in Java (HllUdfs.blobEstimate): py4j
-        # calling functions.udf(obj, dt) directly can bind the deprecated
-        # untyped-Scala overload, which Spark 4 rejects (UNTYPED_SCALA_UDF)
-        ju = factory.blobEstimate()
         return _to_col(ju.apply(_col_seq(spark, [blob_col])))
     except Exception:
         return None
