@@ -596,6 +596,12 @@ class HLL:
 # -- pairwise/estimate helpers used by the Spark functions layer -------------
 
 
+# merge_blobs flushes its sparse-chunk accumulator past this many entries
+# (64 MB of uint32 at the default) — transient memory stays O(flush), not
+# O(sum of all payloads), on huge single-partition batches
+_MERGE_FLUSH_ENTRIES = 16_000_000
+
+
 def merge_blobs(blobs) -> HLL | None:
     """Vectorized register-max union of many serialized counters.
 
@@ -612,6 +618,7 @@ def merge_blobs(blobs) -> HLL | None:
     """
     params: tuple[int, int, int] | None = None
     chunks: list[np.ndarray] = []
+    pending = 0  # entries accumulated in chunks
     regs: np.ndarray | None = None
     for data in blobs:
         if data is None:
@@ -656,6 +663,14 @@ def merge_blobs(blobs) -> HLL | None:
                 np.maximum(regs, dense, out=regs)
         elif len(sparse):
             chunks.append(sparse)
+            pending += len(sparse)
+            if pending > _MERGE_FLUSH_ENTRIES:
+                # bound transient memory on huge batches: collapse the
+                # accumulated encodings into one sorted-unique chunk (set
+                # union is associative — semantics and final bytes are
+                # unchanged, this is just an intermediate union)
+                chunks = [np.unique(np.concatenate(chunks))]
+                pending = len(chunks[0])
     if params is None:
         return None
     b, binbits, hk = params

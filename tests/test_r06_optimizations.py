@@ -54,6 +54,21 @@ def test_merge_blobs_matches_sequential_fold_across_payload_forms():
         assert _seq_merge(blobs) == (None if m is None else m.to_bytes())
 
 
+def test_merge_blobs_flush_threshold_preserves_bytes(monkeypatch):
+    # the memory-bounding intermediate union (set union is associative)
+    # must never change the result, whether the final state is dense...
+    blobs = [_mk(int(np.random.default_rng(i).integers(1, 900)), seed=i) for i in range(120)]
+    ref = merge_blobs(blobs).to_bytes()
+    monkeypatch.setattr(hllmod, "_MERGE_FLUSH_ENTRIES", 1000)
+    assert merge_blobs(blobs).to_bytes() == ref
+    # ...or stays sparse
+    small = [_mk(5, seed=i) for i in range(50)]
+    monkeypatch.setattr(hllmod, "_MERGE_FLUSH_ENTRIES", 16_000_000)
+    ref2 = merge_blobs(small).to_bytes()
+    monkeypatch.setattr(hllmod, "_MERGE_FLUSH_ENTRIES", 20)
+    assert merge_blobs(small).to_bytes() == ref2
+
+
 def test_merge_blobs_mismatch_errors_match_pairwise_merge():
     for mut, frag in [({"b": 15}, "index size"), ({"binbits": 5}, "bin size"), ({"hk": 0}, "hash kind")]:
         blobs = [_mk(10, seed=1), _mk(10, seed=2, **mut)]
