@@ -726,100 +726,14 @@ def estimate_blobs(blobs) -> list:
     return out
 
 
-def union_estimate_blobs(a, b) -> list:
-    """Batched ``hyperloglog_union`` estimate over two blob columns.
-
-    Per-row semantics identical to the pairwise path (one NULL → the
-    survivor's estimate, both NULL → None, param mismatches raise the merge
-    errors).  Fast path: both sides sparse with matching params — the union
-    cardinality is |A| + |B| − |A ∩ B| with the intersection counted by one
-    vectorized ``searchsorted`` over row-composite keys (both sides are
-    sorted-unique, so (row << 32) | enc is globally sorted with NO extra
-    sort); rows whose union exceeds sparse capacity, or with any dense/odd
-    payload, fall back to the object path."""
-    n_rows = len(a)
-    out: list = [None] * n_rows
-    rows_a: list = []
-    enc_a: list = []
-    rows_b: list = []
-    enc_b: list = []
-    fast_rows: list = []
-    na = np.zeros(n_rows, dtype=np.int64)
-    nb = np.zeros(n_rows, dtype=np.int64)
-    params: list = [None] * n_rows
-
-    def _slow(i, x, y):
-        if x is None and y is None:
-            return
-        if y is None or x is None:
-            out[i] = HLL.from_bytes(bytes(x if x is not None else y)).estimate()
-            return
-        sx = HLL.from_bytes(bytes(x))
-        out[i] = sx.merge(HLL.from_bytes(bytes(y))).estimate()
-
-    single: dict = {}
-    for i, (x, y) in enumerate(zip(a, b)):
-        if x is None and y is None:
-            continue
-        if x is None or y is None:
-            data = bytes(x if x is not None else y)
-            fast = _sparse_fast_header(data)
-            if fast is None:
-                out[i] = HLL.from_bytes(data).estimate()
-            else:
-                single.setdefault((fast[3], fast[1]), []).append(i)
-            continue
-        dx, dy = bytes(x), bytes(y)
-        fx, fy = _sparse_fast_header(dx), _sparse_fast_header(dy)
-        if (
-            fx is None
-            or fy is None
-            or fx[:3] != fy[:3]
-            or fx[3] + fy[3] > sparse_capacity(fx[0])
-        ):
-            _slow(i, dx, dy)  # dense/odd payloads, mismatches, possible promotion
-            continue
-        ha, hb = _HEADER.unpack_from(dx, 0), _HEADER.unpack_from(dy, 0)
-        ea = (
-            decompress_sparse(dx[_HEADER.size :], ha[4])
-            if ha[3] & _FLAG_VARINT
-            else np.frombuffer(dx, dtype="<u4", count=ha[4], offset=_HEADER.size)
-        )
-        eb = (
-            decompress_sparse(dy[_HEADER.size :], hb[4])
-            if hb[3] & _FLAG_VARINT
-            else np.frombuffer(dy, dtype="<u4", count=hb[4], offset=_HEADER.size)
-        )
-        r = len(fast_rows)
-        fast_rows.append(i)
-        params[i] = fx[1]  # binbits
-        na[i], nb[i] = len(ea), len(eb)
-        rows_a.append(np.full(len(ea), r, dtype=np.int64))
-        enc_a.append(ea)
-        rows_b.append(np.full(len(eb), r, dtype=np.int64))
-        enc_b.append(eb)
-
-    for (n, binbits), pos in single.items():
-        e = _estimate_sparse(n, binbits)
-        for i in pos:
-            out[i] = e
-
-    if fast_rows:
-        ca = (np.concatenate(rows_a) << np.int64(32)) | np.concatenate(enc_a).astype(np.int64)
-        cb = (np.concatenate(rows_b) << np.int64(32)) | np.concatenate(enc_b).astype(np.int64)
-        pos = np.searchsorted(cb, ca)
-        pos_c = np.minimum(pos, len(cb) - 1)
-        hit = (pos < len(cb)) & (cb[pos_c] == ca)
-        common = np.bincount((ca[hit] >> np.int64(32)), minlength=len(fast_rows))
-        groups: dict = {}
-        for r, i in enumerate(fast_rows):
-            u = int(na[i] + nb[i] - common[r])
-            groups.setdefault((u, params[i]), []).append(i)
-        for (u, binbits), pos_list in groups.items():
-            e = _estimate_sparse(u, binbits)
-            for i in pos_list:
-                out[i] = e
-    return out
+# NOTE (round 6): a batched pairwise set-op kernel (whole-batch composite-key
+# searchsorted over concatenated sparse encodings) was implemented, A/B'd and
+# REMOVED: wall parity with the object path at the stored-rollup bench shape
+# (9 interleaved reps) and up to 4x more CPU at ~400-entry sparse pairs,
+# where one giant searchsorted loses the cache locality of per-row
+# small-array ops.  The batched readers that ARE wins and stayed:
+# estimate_blobs above (header-only, no payload decode) and merge_blobs
+# (many-blob union, one np.unique pass).
 
 
 def union(a: HLL, b_: HLL) -> HLL:

@@ -138,10 +138,16 @@ def hll_union(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def hll_union_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Batched via core.hll.union_estimate_blobs: sparse pairs count their
-    union with one vectorized searchsorted over the whole batch (identical
-    values/NULL semantics/errors to the pairwise object path)."""
-    return pd.Series(hllmod.union_estimate_blobs(a, b), dtype="float64")
+    # Pairwise object path ON PURPOSE: a whole-batch vectorized kernel
+    # (composite-key searchsorted over the concatenated sparse encodings)
+    # was A/B'd and REJECTED this round — wall parity at the bench shape
+    # and up to 4× more CPU at ~400-entry sparse pairs, where the global
+    # searchsorted loses cache locality that the per-row small-array ops
+    # keep.  The batched win that IS real is the single-column header-only
+    # estimate (hll_estimate above).
+    def f(x, y):
+        return x.estimate() if y is None else hllmod.union_estimate(x, y)
+    return pd.Series(_pairwise(a, b, f), dtype="float64")
 
 
 @pandas_udf(DoubleType())
