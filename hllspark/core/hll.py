@@ -619,6 +619,7 @@ def merge_blobs(blobs) -> HLL | None:
     params: tuple[int, int, int] | None = None
     chunks: list[np.ndarray] = []
     pending = 0  # entries accumulated in chunks
+    flush_at = _MERGE_FLUSH_ENTRIES
     regs: np.ndarray | None = None
     for data in blobs:
         if data is None:
@@ -664,13 +665,33 @@ def merge_blobs(blobs) -> HLL | None:
         elif len(sparse):
             chunks.append(sparse)
             pending += len(sparse)
-            if pending > _MERGE_FLUSH_ENTRIES:
+            if pending > flush_at:
                 # bound transient memory on huge batches: collapse the
                 # accumulated encodings into one sorted-unique chunk (set
                 # union is associative — semantics and final bytes are
                 # unchanged, this is just an intermediate union)
-                chunks = [np.unique(np.concatenate(chunks))]
-                pending = len(chunks[0])
+                uniq = np.unique(np.concatenate(chunks))
+                if len(uniq) > sparse_capacity(b):
+                    # the final state is dense regardless (promotion iff
+                    # unique > capacity), so fold the flushed union into
+                    # registers now — if the deduped accumulator itself
+                    # stayed above the threshold, every later blob would
+                    # re-union the whole set (quadratic in batch size)
+                    if regs is None:
+                        regs = np.zeros(1 << b, dtype=np.uint8)
+                    i, r = decode_encodes(uniq, b, binbits)
+                    np.maximum.at(regs, i, r)
+                    chunks = []
+                    pending = 0
+                    flush_at = _MERGE_FLUSH_ENTRIES
+                else:
+                    chunks = [uniq]
+                    pending = len(uniq)
+                    # hysteresis for the sub-capacity regime (reachable
+                    # only when the threshold is set below capacity): the
+                    # next flush fires after the survivors double, never
+                    # per blob — keeps flush count O(log) at any setting
+                    flush_at = max(_MERGE_FLUSH_ENTRIES, 2 * pending)
     if params is None:
         return None
     b, binbits, hk = params
@@ -693,9 +714,18 @@ def _sparse_fast_header(data: bytes):
     """(b, binbits, hash_kind, n) when ``data`` is a decodable SPARSE blob
     (raw or group-varint — for both, the header's idx field IS the sorted-
     unique entry count), else None.  The sparse estimate depends only on
-    (n, binbits), so readers can skip the payload decode entirely."""
+    (n, binbits), so readers can skip the payload decode entirely.
+
+    Corrupt shapes must NOT take the fast path (loud-failure discipline):
+    an idx outside [0, sparse_capacity(b)] or a raw payload shorter than
+    idx entries returns None so the caller's full decode raises the same
+    diagnostic error the per-row object path always raised."""
     version, b, binbits, flags, idx = _HEADER.unpack_from(data, 0)
     if version > STRUCT_VERSION or (flags & ~_KNOWN_FLAGS) or (flags & _FLAG_DENSE):
+        return None
+    if idx < 0 or idx > sparse_capacity(b):
+        return None
+    if not (flags & _FLAG_VARINT) and len(data) < _HEADER.size + 4 * idx:
         return None
     return b, binbits, (flags & _HASH_KIND_MASK) >> _HASH_KIND_SHIFT, idx
 

@@ -68,6 +68,41 @@ def test_merge_blobs_flush_threshold_preserves_bytes(monkeypatch):
     assert merge_blobs(small).to_bytes() == ref2
 
 
+def test_merge_blobs_flush_converts_to_dense_instead_of_requniquing(monkeypatch):
+    # once the deduped accumulator exceeds sparse capacity it folds into
+    # dense registers and resets — without that, pending stays above the
+    # threshold forever and EVERY later blob re-unions the whole set
+    # (quadratic in batch size)
+    blobs = [_mk(10, seed=i) for i in range(300)]  # ~3000 distinct, cap 1020
+    ref = _seq_merge(blobs)
+    calls = {"n": 0}
+    real_unique = np.unique
+
+    def counting_unique(*a, **k):
+        calls["n"] += 1
+        return real_unique(*a, **k)
+
+    monkeypatch.setattr(hllmod, "_MERGE_FLUSH_ENTRIES", 100)
+    monkeypatch.setattr(hllmod.np, "unique", counting_unique)
+    assert merge_blobs(blobs).to_bytes() == ref
+    # ~1 unique per flush window (≈ total/flush ≈ 30), not one per blob
+    assert calls["n"] < 100
+
+
+def test_estimate_blobs_corrupt_payloads_fail_like_object_path():
+    import struct as _s
+
+    good = _mk(200, seed=5)
+    trunc = good[:20]  # raw sparse truncated mid-payload
+    header = good[:4] + _s.pack("<i", 1 << 28) + good[8:]  # absurd idx field
+    for bad in (trunc, header):
+        with pytest.raises(ValueError) as fast_err:
+            estimate_blobs([bad])
+        with pytest.raises(ValueError) as obj_err:
+            HLL.from_bytes(bad).estimate()
+        assert str(fast_err.value) == str(obj_err.value)
+
+
 def test_merge_blobs_mismatch_errors_match_pairwise_merge():
     for mut, frag in [({"b": 15}, "index size"), ({"binbits": 5}, "bin size"), ({"hk": 0}, "hash kind")]:
         blobs = [_mk(10, seed=1), _mk(10, seed=2, **mut)]
@@ -95,9 +130,13 @@ def test_estimate_blobs_matches_object_path():
 
 
 def test_tdigest_update_weighted_order_canonicalization():
-    # the JVM-builder fold now feeds update_weighted UNSORTED (value, count)
-    # pairs; its internal stable argsort must yield the same bytes as the
-    # previously-external presort (distinct values → unique total order)
+    # the JVM-builder fold presorts (introsort — legal on distinct values);
+    # this pins WHY that is byte-safe for TDigest: update_weighted
+    # canonicalizes order internally (stable argsort), so sorted and
+    # unsorted input yield identical bytes — the external presort only
+    # makes the internal pass adaptive/cheap, it is not load-bearing for
+    # TDigest.  (KLL is different: its level buffers append in input
+    # order, so for KLL the presort IS the canonical-order guarantee.)
     from hllspark.sketches.tdigest import TDigest
 
     rng = np.random.default_rng(3)
