@@ -663,6 +663,15 @@ def merge_blobs(blobs) -> HLL | None:
             else:
                 np.maximum(regs, dense, out=regs)
         elif len(sparse):
+            if regs is not None:
+                # the final state is already dense (regs non-None → the end
+                # path returns dense no matter what), so fold the entries
+                # straight in — register max is associative, bytes are
+                # unchanged, and the accumulator never rebuilds toward
+                # another giant np.unique pass
+                i, r = decode_encodes(sparse, b, binbits)
+                np.maximum.at(regs, i, r)
+                continue
             chunks.append(sparse)
             pending += len(sparse)
             if pending > flush_at:
